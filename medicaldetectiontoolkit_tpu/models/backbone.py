@@ -1,0 +1,240 @@
+"""Shared FPN backbone (ResNet-50/101 encoder + top-down decoder), 2D + 3D.
+
+TPU-native re-design of the reference backbone (``models/backbone.py:22-218``)
+with identical topology and geometry:
+
+  * encoder C1..C5(+C6): 7x7 stride-2 stem (stride (2,2,1) in 3D), 3x3
+    stride-2 max pool ((2,2,1) in 3D), bottleneck ResBlocks with counts
+    [3, 4, 6|23, 3] and expansion 4; stages C3..C5(C6) downsample
+    isotropically (stride 2 in every spatial dim, including z);
+  * decoder: 1x1 lateral convs + nearest x2 top-down upsampling, 3x3 output
+    convs, ``end_filts`` channels at every level;
+  * ``operate_stride1`` prepends U-Net-style full-resolution levels: a C0 stem
+    before C1 and P1/P0 decoder levels using (bi/tri)linear (2,2,1) upsampling;
+  * ``sixth_pooling`` appends C6/P6.
+
+Differences are layout/idiom only: channel-last (b, y, x, (z), c) tensors so
+XLA tiles convs straight onto the MXU, flax modules instead of nn.Module,
+and a configurable compute dtype (bfloat16-ready).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def _kinit(name: Optional[str]):
+    """Kernel init by config name (cf.weight_init; None = flax default)."""
+    if name is None:
+        return nn.initializers.lecun_normal()
+    if name == "xavier_uniform":
+        return nn.initializers.xavier_uniform()
+    if name == "xavier_normal":
+        return nn.initializers.xavier_normal()
+    if name == "kaiming_uniform":
+        return nn.initializers.he_uniform()
+    if name == "kaiming_normal":
+        return nn.initializers.he_normal()
+    raise ValueError(f"unknown weight_init '{name}'")
+
+
+class ConvND(nn.Module):
+    """conv + optional norm + optional nonlinearity; the NDConvGenerator analog
+    (``utils/model_utils.py:732-781``), rank-polymorphic via ``dim``."""
+
+    dim: int
+    features: int
+    ks: int = 1
+    stride: object = 1  # int or per-axis tuple
+    pad: int = 0
+    norm: Optional[str] = None
+    relu: Optional[str] = "relu"
+    weight_init: Optional[str] = None
+    dtype: object = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        stride = self.stride if isinstance(self.stride, (tuple, list)) else (self.stride,) * self.dim
+        x = nn.Conv(
+            self.features,
+            kernel_size=(self.ks,) * self.dim,
+            strides=tuple(stride),
+            padding=[(self.pad, self.pad)] * self.dim,
+            kernel_init=_kinit(self.weight_init),
+            dtype=self.dtype,
+        )(x)
+        if self.norm == "instance_norm":
+            x = nn.GroupNorm(num_groups=None, group_size=1, dtype=self.dtype)(x)
+        elif self.norm == "batch_norm":
+            # batch-stats-free variant: normalizing over batch+spatial per
+            # channel each step (equivalent to train-mode BN without running
+            # averages; inference uses the same statistics).
+            x = nn.GroupNorm(num_groups=1, use_bias=True, use_scale=True, dtype=self.dtype)(x)
+        elif self.norm is not None:
+            raise ValueError(f"unknown norm '{self.norm}'")
+        if self.relu == "relu":
+            x = nn.relu(x)
+        elif self.relu == "leaky_relu":
+            x = nn.leaky_relu(x, negative_slope=0.01)
+        elif self.relu is not None:
+            raise ValueError(f"unknown relu '{self.relu}'")
+        return x
+
+
+class ResBlock(nn.Module):
+    """Bottleneck block: 1x1 (stride) -> 3x3 -> 1x1 x4 + residual
+    (``models/backbone.py:183-206``)."""
+
+    dim: int
+    planes: int
+    stride: object = 1
+    downsample: bool = False
+    norm: Optional[str] = None
+    relu: str = "relu"
+    weight_init: Optional[str] = None
+    dtype: object = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kw = dict(dim=self.dim, norm=self.norm, weight_init=self.weight_init, dtype=self.dtype)
+        out = ConvND(features=self.planes, ks=1, stride=self.stride, relu=self.relu, **kw)(x)
+        out = ConvND(features=self.planes, ks=3, pad=1, relu=self.relu, **kw)(out)
+        out = ConvND(features=self.planes * 4, ks=1, relu=None, **kw)(out)
+        if self.downsample:
+            residual = ConvND(features=self.planes * 4, ks=1, stride=self.stride, relu=None, **kw)(x)
+        else:
+            residual = x
+        out = out + residual
+        return nn.relu(out) if self.relu == "relu" else nn.leaky_relu(out, 0.01)
+
+
+def _nearest_up(x, factor):
+    """Nearest-neighbor upsample by integer factors per spatial axis
+    (torch F.interpolate default mode)."""
+    for ax, f in enumerate(factor):
+        if f != 1:
+            x = jnp.repeat(x, f, axis=ax + 1)
+    return x
+
+
+def _linear_up(x, factor):
+    """(bi/tri)linear upsample, half-pixel centers (align_corners=False)."""
+    spatial = tuple(int(s * f) for s, f in zip(x.shape[1:-1], factor))
+    new_shape = (x.shape[0],) + spatial + (x.shape[-1],)
+    return jax.image.resize(x, new_shape, method="linear")
+
+
+def _maxpool(x, dim):
+    window = (3,) * dim
+    strides = (2, 2, 1) if dim == 3 else (2, 2)
+    return nn.max_pool(x, window, strides=strides, padding=[(1, 1)] * dim)
+
+
+class FPN(nn.Module):
+    """Feature pyramid: returns [P2..P5(,P6)] or [P0, P2..] if operate_stride1.
+
+    Output order matches the reference's ``out_list``
+    (``models/backbone.py:129-179``): indexing by ``cf.pyramid_levels`` works
+    identically.
+    """
+
+    dim: int
+    n_channels: int
+    start_filts: int
+    end_filts: int
+    res_architecture: str = "resnet50"
+    norm: Optional[str] = None
+    relu: str = "relu"
+    sixth_pooling: bool = False
+    operate_stride1: bool = False
+    weight_init: Optional[str] = None
+    dtype: object = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        d = self.dim
+        sf = self.start_filts
+        n_blocks = [3, 4, {"resnet50": 6, "resnet101": 23}[self.res_architecture], 3]
+        kw = dict(dim=d, norm=self.norm, relu=self.relu, weight_init=self.weight_init, dtype=self.dtype)
+        bkw = dict(dim=d, norm=self.norm, relu=self.relu, weight_init=self.weight_init, dtype=self.dtype)
+        stem_stride = (2, 2, 1) if d == 3 else 2
+
+        if self.operate_stride1:
+            c0 = ConvND(features=sf, ks=3, pad=1, **kw)(x)
+            c0 = ConvND(features=sf, ks=3, pad=1, **kw)(c0)
+            c1 = ConvND(features=sf, ks=7, stride=stem_stride, pad=3, **kw)(c0)
+        else:
+            c0 = x
+            c1 = ConvND(features=sf, ks=7, stride=stem_stride, pad=3, **kw)(x)
+
+        c2 = _maxpool(c1, d)
+        c2 = ResBlock(planes=sf, stride=1, downsample=True, **bkw)(c2)
+        for _ in range(1, n_blocks[0]):
+            c2 = ResBlock(planes=sf, **bkw)(c2)
+
+        c3 = ResBlock(planes=sf * 2, stride=2, downsample=True, **bkw)(c2)
+        for _ in range(1, n_blocks[1]):
+            c3 = ResBlock(planes=sf * 2, **bkw)(c3)
+
+        c4 = ResBlock(planes=sf * 4, stride=2, downsample=True, **bkw)(c3)
+        for _ in range(1, n_blocks[2]):
+            c4 = ResBlock(planes=sf * 4, **bkw)(c4)
+
+        c5 = ResBlock(planes=sf * 8, stride=2, downsample=True, **bkw)(c4)
+        for _ in range(1, n_blocks[3]):
+            c5 = ResBlock(planes=sf * 8, **bkw)(c5)
+
+        lat = dict(dim=d, norm=None, relu=None, weight_init=self.weight_init, dtype=self.dtype)
+        up2 = (2,) * d
+
+        if self.sixth_pooling:
+            c6 = ResBlock(planes=sf * 16, stride=2, downsample=True, **bkw)(c5)
+            for _ in range(1, n_blocks[3]):
+                c6 = ResBlock(planes=sf * 16, **bkw)(c6)
+            p6_pre = ConvND(features=self.end_filts, ks=1, **lat)(c6)
+            p5_pre = ConvND(features=self.end_filts, ks=1, **lat)(c5) + _nearest_up(p6_pre, up2)
+        else:
+            p5_pre = ConvND(features=self.end_filts, ks=1, **lat)(c5)
+
+        p4_pre = ConvND(features=self.end_filts, ks=1, **lat)(c4) + _nearest_up(p5_pre, up2)
+        p3_pre = ConvND(features=self.end_filts, ks=1, **lat)(c3) + _nearest_up(p4_pre, up2)
+        p2_pre = ConvND(features=self.end_filts, ks=1, **lat)(c2) + _nearest_up(p3_pre, up2)
+
+        p2 = ConvND(features=self.end_filts, ks=3, pad=1, **lat)(p2_pre)
+        p3 = ConvND(features=self.end_filts, ks=3, pad=1, **lat)(p3_pre)
+        p4 = ConvND(features=self.end_filts, ks=3, pad=1, **lat)(p4_pre)
+        p5 = ConvND(features=self.end_filts, ks=3, pad=1, **lat)(p5_pre)
+        out = [p2, p3, p4, p5]
+
+        if self.sixth_pooling:
+            out.append(ConvND(features=self.end_filts, ks=3, pad=1, **lat)(p6_pre))
+
+        if self.operate_stride1:
+            up_aniso = (2, 2, 1) if d == 3 else (2, 2)
+            p1_pre = ConvND(features=self.end_filts, ks=1, **lat)(c1) + _linear_up(p2_pre, up_aniso)
+            p0_pre = ConvND(features=self.end_filts, ks=1, **lat)(c0) + _linear_up(p1_pre, up_aniso)
+            p0 = ConvND(features=self.end_filts, ks=3, pad=1, **lat)(p0_pre)
+            out = [p0] + out
+
+        return out
+
+
+def fpn_from_cf(cf):
+    """Build the FPN module from a config attribute bag."""
+    return FPN(
+        dim=cf.dim,
+        n_channels=cf.n_channels,
+        start_filts=cf.start_filts,
+        end_filts=cf.end_filts,
+        res_architecture=cf.res_architecture,
+        norm=cf.norm,
+        relu=cf.relu,
+        sixth_pooling=cf.sixth_pooling,
+        operate_stride1=cf.operate_stride1,
+        weight_init=cf.weight_init,
+        dtype=getattr(cf, "compute_dtype", jnp.float32),
+    )

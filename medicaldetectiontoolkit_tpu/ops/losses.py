@@ -1,0 +1,145 @@
+"""Loss functions + SHEM negative mining, fixed-shape and masked.
+
+Device-side equivalents of the reference's loss path:
+  * ``shem`` (stochastic hard example mining, ``utils/model_utils.py:674-691``)
+    as a fixed-size masked selection;
+  * anchor classification loss with SHEM negatives
+    (``models/retina_net.py:126-164``) — note the reference uses CE + SHEM,
+    *not* focal loss, and we preserve that;
+  * smooth-L1 bbox loss over positive anchors
+    (``models/retina_net.py:167-187``);
+  * soft batch dice over the batch pseudo-volume, foreground classes only
+    (``utils/model_utils.py:833-858``), and weighted CE for segmentation.
+
+All means over dynamic subsets (positives / sampled negatives) are computed
+as masked sums divided by masked counts, which is exactly the reference's
+``F.cross_entropy(...)``/``F.smooth_l1_loss(...)`` element means.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def masked_mean(values, mask, default=0.0):
+    """Mean of values where mask, or ``default`` if the mask is empty."""
+    mask = mask.astype(values.dtype)
+    count = jnp.sum(mask)
+    return jnp.where(count > 0, jnp.sum(values * mask) / jnp.maximum(count, 1.0), default)
+
+
+def softmax_ce(logits, labels):
+    """Per-element softmax cross entropy with integer labels; (...,) out."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.take_along_axis(logp, labels[..., None].astype(jnp.int32), axis=-1)[..., 0]
+
+
+def smooth_l1(pred, target):
+    """Elementwise smooth-L1 (huber, beta=1), matching F.smooth_l1_loss."""
+    diff = jnp.abs(pred - target)
+    return jnp.where(diff < 1.0, 0.5 * diff * diff, diff - 0.5)
+
+
+def shem_select(rng, fg_scores, neg_mask, n_pos, max_count: int, poolsize: int):
+    """Stochastic hard example mining over a fixed-size candidate set.
+
+    Reference semantics (``utils/model_utils.py:674-691``): sort negatives by
+    highest foreground score, draw ``negative_count = max(1, n_pos)`` samples
+    uniformly from the top ``poolsize * negative_count`` pool.
+
+    Args:
+      rng: PRNG key.
+      fg_scores: (N,) max foreground probability per candidate.
+      neg_mask: (N,) bool — candidates eligible as negatives.
+      n_pos: traced int — number of positives (sets the negative count).
+      max_count: static upper bound on sampled negatives
+        (e.g. rpn_train_anchors_per_image // 2).
+      poolsize: cf.shem_poolsize.
+
+    Returns:
+      sel_mask: (N,) bool — the sampled hard negatives.
+    """
+    N = fg_scores.shape[0]
+    negative_count = jnp.clip(n_pos, 1, max_count)
+    n_neg_avail = jnp.sum(neg_mask)
+    negative_count = jnp.minimum(negative_count, n_neg_avail)
+
+    # rank negatives by descending fg score (stable; non-negatives last)
+    score_key = jnp.where(neg_mask, fg_scores, -jnp.inf)
+    order = jnp.argsort(-score_key)
+    rank = jnp.zeros((N,), jnp.int32).at[order].set(jnp.arange(N, dtype=jnp.int32))
+    in_pool = neg_mask & (rank < poolsize * negative_count)
+
+    # uniform draw of negative_count from the pool: random key + rank again
+    rand = jax.random.uniform(rng, (N,))
+    draw_key = jnp.where(in_pool, rand, jnp.inf)
+    draw_order = jnp.argsort(draw_key)
+    draw_rank = jnp.zeros((N,), jnp.int32).at[draw_order].set(jnp.arange(N, dtype=jnp.int32))
+    return in_pool & (draw_rank < negative_count)
+
+
+def anchor_class_loss(rng, matches, class_logits, shem_poolsize: int, max_neg: int):
+    """(pos CE + SHEM-neg CE) / 2, the one-stage anchor loss.
+
+    matches: (A,) int32 from gt_anchor_matching. class_logits: (A, n_classes).
+    Returns (loss, neg_sel_mask) — the mask marks SHEM-sampled negatives (for
+    monitoring, like the reference's np_neg_ix).
+    """
+    pos_mask = matches > 0
+    neg_mask = matches == -1
+
+    ce = softmax_ce(class_logits, jnp.maximum(matches, 0))
+    pos_loss = masked_mean(ce, pos_mask)
+
+    probs = jax.nn.softmax(class_logits, axis=-1)
+    fg_scores = jnp.max(probs[:, 1:], axis=-1)
+    n_pos = jnp.sum(pos_mask).astype(jnp.int32)
+    neg_sel = shem_select(rng, fg_scores, neg_mask, n_pos, max_neg, shem_poolsize)
+    ce_bg = softmax_ce(class_logits, jnp.zeros_like(matches))
+    neg_loss = masked_mean(ce_bg, neg_sel)
+
+    return (pos_loss + neg_loss) / 2.0, neg_sel
+
+
+def anchor_bbox_loss(target_deltas, pred_deltas, matches):
+    """Smooth-L1 over positive anchors' deltas (mean over elements)."""
+    pos = (matches > 0)[:, None]
+    per_elem = smooth_l1(pred_deltas, target_deltas)
+    return masked_mean(per_elem, jnp.broadcast_to(pos, per_elem.shape))
+
+
+def one_hot_channels(labels, n_classes: int):
+    """(b, 1, *spatial) int -> (b, n_classes, *spatial) one-hot (channel-first,
+    mirroring the reference's host-side helper layout)."""
+    oh = jax.nn.one_hot(labels[:, 0], n_classes, axis=-1)  # (b, *spatial, C)
+    return jnp.moveaxis(oh, -1, 1)
+
+
+def batch_dice(pred, y, false_positive_weight: float = 1.0, smooth: float = 1e-6):
+    """Soft dice over the whole batch pseudo-volume, fg classes only.
+
+    pred: (b, C, *spatial) softmax probs; y: (b, C, *spatial) one-hot.
+    Matches ``utils/model_utils.py:833-858`` (returns mean over classes 1..C).
+    """
+    axes = (0,) + tuple(range(2, pred.ndim))
+    intersect = jnp.sum(pred * y, axis=axes)
+    denom = jnp.sum(false_positive_weight * pred + y, axis=axes)
+    dice_per_class = (2.0 * intersect + smooth) / (denom + smooth)
+    return jnp.mean(dice_per_class[1:])
+
+
+def weighted_ce(logits, labels, class_weights=None):
+    """Pixelwise CE with optional per-class weights.
+
+    logits: (b, C, *spatial); labels: (b, 1, *spatial) int.
+    Matches torch F.cross_entropy(weight=...) semantics: weighted mean with
+    normalization by the sum of applied weights.
+    """
+    labels = labels[:, 0].astype(jnp.int32)  # (b, *spatial)
+    logits_last = jnp.moveaxis(logits, 1, -1)
+    ce = softmax_ce(logits_last, labels)
+    if class_weights is None:
+        return jnp.mean(ce)
+    w = jnp.asarray(class_weights, dtype=ce.dtype)[labels]
+    return jnp.sum(ce * w) / jnp.maximum(jnp.sum(w), 1e-8)

@@ -1,0 +1,108 @@
+"""GT <-> anchor matching, fully vectorized and on-device.
+
+Replaces the reference's host-side NumPy ``gt_anchor_matching``
+(``utils/model_utils.py:505-619``) — its hottest host loop, run per batch
+element per step over ~1e5 anchors — with a masked jnp computation that lives
+inside the jitted train step. Semantics preserved:
+
+  1. anchors with max-IoU < neg_threshold (0.1 in 2D / 0.01 in 3D) -> negative (-1);
+  2. every GT box force-matches its best anchor (class id), regardless of IoU;
+  3. anchors with max-IoU >= anchor_matching_iou -> class of their argmax GT;
+  4. positives are randomly subsampled to ``train_anchors_per_image // 2``
+     (extras reset to neutral 0);
+  5. delta targets = box_refinement(anchor, argmax GT) / rpn_bbox_std_dev for
+     positive anchors.
+
+Differences in *representation* only: GT boxes arrive padded to a static
+``max_gt`` with a validity mask; delta targets are returned dense
+(n_anchors, 2*dim) and consumers mask by ``matches > 0`` instead of the
+reference's (train_anchors_per_image, 2*dim) packed array — the resulting
+losses are identical.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from medicaldetectiontoolkit_tpu.ops import boxes as box_ops
+
+
+@functools.partial(jax.jit, static_argnames=("max_pos",))
+def gt_anchor_matching(
+    rng,
+    anchors,
+    gt_boxes,
+    gt_class_ids,
+    gt_valid,
+    pos_iou_threshold,
+    neg_iou_threshold,
+    max_pos: int,
+    bbox_std_dev,
+):
+    """Match padded GT boxes to anchors.
+
+    Args:
+      rng: PRNG key for positive subsampling.
+      anchors: (A, 2*dim) float anchors in pixel coords.
+      gt_boxes: (G, 2*dim) float GT boxes, zero-padded.
+      gt_class_ids: (G,) int32; all-ones for RPN (binary fg), real class ids
+        for one-stage detectors (reference behavior,
+        ``utils/model_utils.py:530-532``).
+      gt_valid: (G,) bool padding mask.
+      pos_iou_threshold: cf.anchor_matching_iou.
+      neg_iou_threshold: 0.1 (2D) / 0.01 (3D).
+      max_pos: cf.rpn_train_anchors_per_image (static); at most max_pos // 2
+        positives survive subsampling.
+      bbox_std_dev: (2*dim,) normalization of delta targets.
+
+    Returns:
+      matches: (A,) int32 — class_id > 0 positive, -1 negative, 0 neutral.
+      delta_targets: (A, 2*dim) float32 — normalized deltas toward each
+        anchor's argmax GT; only rows with matches > 0 are meaningful.
+    """
+    A = anchors.shape[0]
+    any_gt = jnp.any(gt_valid)
+
+    overlaps = box_ops.pairwise_iou(anchors, gt_boxes)  # (A, G)
+    overlaps = jnp.where(gt_valid[None, :], overlaps, -1.0)
+
+    anchor_iou_argmax = jnp.argmax(overlaps, axis=1)  # (A,)
+    anchor_iou_max = jnp.max(overlaps, axis=1)
+    matched_class = gt_class_ids[anchor_iou_argmax].astype(jnp.int32)
+
+    # 1. negatives below threshold (with no valid GT, everything is negative)
+    matches = jnp.where(anchor_iou_max < neg_iou_threshold, -1, 0).astype(jnp.int32)
+
+    # 2. force-match each valid GT's best anchor (scatter; invalid GTs dropped)
+    gt_best_anchor = jnp.argmax(overlaps, axis=0)  # (G,)
+    scatter_ix = jnp.where(gt_valid, gt_best_anchor, A)  # A = out of range -> dropped
+    matches = matches.at[scatter_ix].set(gt_class_ids.astype(jnp.int32), mode="drop")
+
+    # 3. above-threshold positives take the class of their argmax GT
+    matches = jnp.where(anchor_iou_max >= pos_iou_threshold, matched_class, matches)
+    matches = jnp.where(any_gt, matches, -1)
+
+    # 4. random positive subsampling to max_pos // 2
+    pos = matches > 0
+    rand = jax.random.uniform(rng, (A,))
+    # rank positives by random draw; keep the max_pos//2 smallest draws
+    pos_rank_key = jnp.where(pos, rand, jnp.inf)
+    order = jnp.argsort(pos_rank_key)
+    rank = jnp.zeros((A,), jnp.int32).at[order].set(jnp.arange(A, dtype=jnp.int32))
+    keep_pos = pos & (rank < max_pos // 2)
+    matches = jnp.where(pos & ~keep_pos, 0, matches)
+
+    # 5. delta targets toward argmax GT, normalized
+    target_gt = gt_boxes[anchor_iou_argmax]
+    safe_anchors = anchors.astype(jnp.float32)
+    # guard degenerate padded GTs against log(0)/div0 — rows are masked anyway
+    dim = box_ops.box_dim(anchors)
+    safe_gt = jnp.where((matches > 0)[:, None], target_gt, safe_anchors)
+    deltas = box_ops.box_refinement(safe_anchors, safe_gt) / jnp.asarray(bbox_std_dev, jnp.float32)
+    deltas = jnp.where((matches > 0)[:, None], deltas, 0.0)
+
+    del dim
+    return matches, deltas.astype(jnp.float32)

@@ -1,0 +1,131 @@
+"""Fixed-shape greedy non-maximum suppression, 2D + 3D, jit/vmap friendly.
+
+TPU-native replacement for the reference's CUDA NMS kernels
+(``cuda_functions/nms_2D/src/cuda/nms_kernel.cu``, ``nms_3D/...``): same
+greedy semantics — boxes considered in descending score order, a surviving
+box suppresses every lower-scored box whose IoU (computed with the legacy
++1-pixel convention, ``nms_kernel.cu:16-23``) is *strictly greater* than the
+threshold — but re-shaped for XLA:
+
+  * instead of the CUDA bitmask-matrix + host greedy scan over all N boxes,
+    we run exactly ``max_output`` select-and-suppress steps: each step takes
+    an argmax over the active scores (VPU reduction) and kills the winner's
+    neighbors with one pairwise-IoU row. Serial depth is the number of boxes
+    *kept* (tiny: 10-500), not the number of candidates (3k-50k), and every
+    step is a wide vector op — no host round-trip, no dynamic shapes;
+  * output is a fixed-size index vector + validity mask instead of a
+    variable-length keep list.
+
+vmap over leading batch/class axes shares the serial loop across all lanes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from medicaldetectiontoolkit_tpu.ops import boxes as box_ops
+
+NEG_INF = jnp.float32(-jnp.inf)
+
+
+def _iou_one_vs_all(box, boxes, pixel_offset):
+    """IoU of one box (2*dim,) against (N, 2*dim); the +1 convention lives here."""
+    dim = box_ops.box_dim(boxes)
+    inter = jnp.ones(boxes.shape[0], dtype=boxes.dtype)
+    area_a = jnp.asarray(1.0, dtype=boxes.dtype)
+    area_b = jnp.ones(boxes.shape[0], dtype=boxes.dtype)
+    for ax in range(dim):
+        lo_i, hi_i = (0, 2) if ax == 0 else (1, 3) if ax == 1 else (4, 5)
+        seg = jnp.minimum(box[hi_i], boxes[:, hi_i]) - jnp.maximum(box[lo_i], boxes[:, lo_i]) + pixel_offset
+        inter = inter * jnp.maximum(seg, 0.0)
+        area_a = area_a * (box[hi_i] - box[lo_i] + pixel_offset)
+        area_b = area_b * (boxes[:, hi_i] - boxes[:, lo_i] + pixel_offset)
+    union = area_a + area_b - inter
+    return jnp.where(union > 0, inter / jnp.where(union > 0, union, 1.0), 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("max_output", "pixel_offset"))
+def nms(boxes, scores, iou_threshold, max_output: int, valid=None, pixel_offset: float = 1.0):
+    """Greedy NMS with fixed-size output.
+
+    Args:
+      boxes: (N, 4|6) corner boxes (need not be sorted).
+      scores: (N,) scores; higher wins. Ties break toward lower index
+        (matching a stable descending sort + greedy scan).
+      iou_threshold: suppress when IoU is strictly greater than this.
+      max_output: static number of keep slots.
+      valid: optional (N,) bool; False entries can never be selected.
+      pixel_offset: 1.0 reproduces the reference CUDA kernels' +1 IoU
+        convention; 0.0 gives plain IoU.
+
+    Returns:
+      keep_idx: (max_output,) int32 indices into the input, -1 padded.
+      keep_mask: (max_output,) bool validity of each slot.
+    """
+    n = boxes.shape[0]
+    scores = scores.astype(jnp.float32)
+    if valid is not None:
+        scores = jnp.where(valid, scores, NEG_INF)
+    # tie-break toward lower index: argmax picks the first maximum already.
+
+    def body(i, carry):
+        active_scores, keep_idx, keep_mask = carry
+        best = jnp.argmax(active_scores)
+        best_ok = active_scores[best] > NEG_INF
+        keep_idx = keep_idx.at[i].set(jnp.where(best_ok, best.astype(jnp.int32), -1))
+        keep_mask = keep_mask.at[i].set(best_ok)
+        iou_row = _iou_one_vs_all(boxes[best], boxes, pixel_offset)
+        kill = (iou_row > iou_threshold) | (jnp.arange(n) == best)
+        active_scores = jnp.where(best_ok & kill, NEG_INF, active_scores)
+        return active_scores, keep_idx, keep_mask
+
+    init = (
+        scores,
+        jnp.full((max_output,), -1, dtype=jnp.int32),
+        jnp.zeros((max_output,), dtype=bool),
+    )
+    _, keep_idx, keep_mask = jax.lax.fori_loop(0, max_output, body, init)
+    return keep_idx, keep_mask
+
+
+def batched_nms(boxes, scores, iou_threshold, max_output: int, valid=None, pixel_offset: float = 1.0):
+    """NMS vmapped over one leading batch axis: (B, N, 2*dim), (B, N)."""
+    fn = functools.partial(nms, max_output=max_output, pixel_offset=pixel_offset)
+    if valid is None:
+        return jax.vmap(lambda b, s: fn(b, s, iou_threshold))(boxes, scores)
+    return jax.vmap(lambda b, s, v: fn(b, s, iou_threshold, valid=v))(boxes, scores, valid)
+
+
+def nms_numpy_reference(boxes, scores, iou_threshold, pixel_offset: float = 1.0):
+    """Straight NumPy greedy NMS used as the test oracle.
+
+    Mirrors the semantics of the reference CUDA path (pre-sorted greedy scan
+    with +1-pixel IoU and strict > suppression) in the obvious O(N^2) form.
+    Returns kept indices into the input, in descending-score order.
+    """
+    import numpy as np
+
+    order = np.argsort(-scores, kind="stable")
+    suppressed = np.zeros(len(scores), dtype=bool)
+    keep = []
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        bi = boxes[i]
+        dim = 2 if boxes.shape[1] == 4 else 3
+        inter = np.ones(len(boxes))
+        area_i, area_all = 1.0, np.ones(len(boxes))
+        for ax in range(dim):
+            lo, hi = (0, 2) if ax == 0 else (1, 3) if ax == 1 else (4, 5)
+            seg = np.minimum(bi[hi], boxes[:, hi]) - np.maximum(bi[lo], boxes[:, lo]) + pixel_offset
+            inter *= np.maximum(seg, 0.0)
+            area_i *= bi[hi] - bi[lo] + pixel_offset
+            area_all *= boxes[:, hi] - boxes[:, lo] + pixel_offset
+        union = area_i + area_all - inter
+        iou = np.where(union > 0, inter / np.where(union > 0, union, 1.0), 0.0)
+        suppressed |= iou > iou_threshold
+    return np.asarray(keep, dtype=np.int32)
