@@ -22,7 +22,7 @@ def register(name):
 def build_model(cf, logger):
     """Instantiate the detector named by ``cf.model``."""
     # import for side-effect registration
-    from medicaldetectiontoolkit_tpu.models import retina_net, retina_unet, mrcnn, ufrcnn, detection_unet  # noqa: F401
+    from medicaldetectiontoolkit_tpu.models import retina_net, mrcnn, ufrcnn, detection_unet  # noqa: F401
 
     if cf.model not in _REGISTRY:
         raise KeyError(f"unknown model '{cf.model}', have {sorted(_REGISTRY)}")

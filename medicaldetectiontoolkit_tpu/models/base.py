@@ -1,0 +1,176 @@
+"""Shared detector machinery: batch conversion, results assembly, optimizer.
+
+The reference models expose ``net.train_forward(batch)`` / ``net.test_forward
+(batch)`` over NumPy batch dicts (``models/retina_net.py:380-469``). We keep
+that outer contract — the trainer/predictor/evaluator all speak it — but the
+inside is pure-functional JAX: a detector owns (params, opt_state) as host
+references and calls donated, jitted step functions.
+
+Host <-> device conventions:
+  * batch dicts are NumPy, channel-first (b, c, y, x, (z)) like the reference;
+  * device tensors are channel-last (b, y, x, (z), c);
+  * variable-length GT lists are padded to ``cf.max_gt_boxes`` with masks;
+  * detections come back as fixed-size (b, max_det, 2*dim+2) arrays + validity
+    mask and are converted to the reference's box-dict lists on host.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def image_to_device(img: np.ndarray) -> jnp.ndarray:
+    """(b, c, *spatial) numpy -> (b, *spatial, c) float32 device array."""
+    return jnp.asarray(np.moveaxis(np.asarray(img, dtype=np.float32), 1, -1))
+
+
+def seg_to_device(seg: np.ndarray) -> jnp.ndarray:
+    """(b, 1, *spatial) int numpy -> device int32 (same layout)."""
+    return jnp.asarray(np.asarray(seg, dtype=np.int32))
+
+
+def pad_gt_boxes(gt_boxes_list, gt_ids_list, batch_size: int, dim: int, max_gt: int):
+    """Pad per-element GT box lists to (b, max_gt, 2*dim) + ids + valid mask.
+
+    Overflow beyond max_gt is truncated (the reference keeps all GTs; raise
+    ``cf.max_gt_boxes`` for datasets with more objects per patch).
+    """
+    boxes = np.zeros((batch_size, max_gt, 2 * dim), dtype=np.float32)
+    ids = np.zeros((batch_size, max_gt), dtype=np.int32)
+    valid = np.zeros((batch_size, max_gt), dtype=bool)
+    for b in range(batch_size):
+        g = np.asarray(gt_boxes_list[b], dtype=np.float32).reshape(-1, 2 * dim) if len(gt_boxes_list[b]) else np.zeros((0, 2 * dim), np.float32)
+        n = min(len(g), max_gt)
+        if n:
+            boxes[b, :n] = g[:n]
+            ids[b, :n] = np.asarray(gt_ids_list[b], dtype=np.int32).reshape(-1)[:n]
+            valid[b, :n] = True
+    return jnp.asarray(boxes), jnp.asarray(ids), jnp.asarray(valid)
+
+
+def detections_to_box_results(cf, detections, det_mask, box_results_list=None):
+    """Fixed-shape device detections -> the reference results 'boxes' lists.
+
+    detections: (b, max_det, 2*dim + 2) = coords (rounded), class_id, score.
+    Applies the reference's zero-area and min-confidence filters
+    (``models/retina_net.py:296-323``).
+    """
+    detections = np.asarray(detections)
+    det_mask = np.asarray(det_mask)
+    bsz = detections.shape[0]
+    if box_results_list is None:
+        box_results_list = [[] for _ in range(bsz)]
+    ncoords = 2 * cf.dim
+    for b in range(bsz):
+        for i in np.flatnonzero(det_mask[b]):
+            coords = detections[b, i, :ncoords].astype(np.int32)
+            class_id = int(detections[b, i, ncoords])
+            score = float(detections[b, i, ncoords + 1])
+            if cf.dim == 2:
+                area = (coords[2] - coords[0]) * (coords[3] - coords[1])
+            else:
+                area = (coords[2] - coords[0]) * (coords[3] - coords[1]) * (coords[5] - coords[4])
+            if area <= 0 or score < cf.model_min_confidence:
+                continue
+            box_results_list[b].append(
+                {"box_coords": coords, "box_score": score, "box_type": "det", "box_pred_class_id": class_id}
+            )
+    return box_results_list
+
+
+def add_gt_boxes_to_results(batch, box_results_list):
+    """Append GT boxes as monitoring box dicts (reference train_forward)."""
+    for b in range(len(box_results_list)):
+        if len(batch["bb_target"][b]) > 0:
+            for ix in range(len(batch["bb_target"][b])):
+                box_results_list[b].append(
+                    {
+                        "box_coords": np.asarray(batch["bb_target"][b][ix]),
+                        "box_label": np.asarray(batch["roi_labels"][b]).reshape(-1)[ix],
+                        "box_type": "gt",
+                    }
+                )
+    return box_results_list
+
+
+def add_anchor_boxes_to_results(cf, np_anchors, matches, neg_sel, img_shape_spatial, box_results_list):
+    """Append sampled pos/neg anchors (clipped) as monitoring box dicts."""
+    matches = np.asarray(matches)
+    neg_sel = np.asarray(neg_sel)
+    for b in range(matches.shape[0]):
+        for kind, mask in (("pos_anchor", matches[b] > 0), ("neg_anchor", neg_sel[b])):
+            sel = np_anchors[mask]
+            if not len(sel):
+                continue
+            clipped = sel.copy()
+            clipped[:, 0] = clipped[:, 0].clip(0, img_shape_spatial[0])
+            clipped[:, 2] = clipped[:, 2].clip(0, img_shape_spatial[0])
+            clipped[:, 1] = clipped[:, 1].clip(0, img_shape_spatial[1])
+            clipped[:, 3] = clipped[:, 3].clip(0, img_shape_spatial[1])
+            if cf.dim == 3:
+                clipped[:, 4] = clipped[:, 4].clip(0, img_shape_spatial[2])
+                clipped[:, 5] = clipped[:, 5].clip(0, img_shape_spatial[2])
+            for row in clipped:
+                box_results_list[b].append({"box_coords": row, "box_type": kind})
+    return box_results_list
+
+
+def make_optimizer(cf):
+    """torch.optim.Adam(lr, weight_decay) equivalent; lr applied per step.
+
+    The transform chain produces unit-lr adam directions; the trainer scales
+    by the per-epoch lr (reference sets param_group['lr'] each epoch,
+    ``exec.py:59-60``).
+    """
+    parts = []
+    if cf.weight_decay:
+        parts.append(optax.add_decayed_weights(cf.weight_decay))
+    parts.append(optax.scale_by_adam())
+    parts.append(optax.scale(-1.0))
+    return optax.chain(*parts)
+
+
+class Detector:
+    """Base class: owns (cf, logger, params, opt_state) + jitted step fns."""
+
+    def __init__(self, cf, logger):
+        self.cf = cf
+        self.logger = logger
+        self.params = None
+        self.opt_state = None
+        self._optimizer = make_optimizer(cf)
+        self.build()
+
+    # ---- subclass API -------------------------------------------------
+    def build(self):
+        raise NotImplementedError
+
+    def init_params(self, seed: int = 0):
+        raise NotImplementedError
+
+    # ---- state handling ------------------------------------------------
+    def initialize(self, seed: Optional[int] = None):
+        self.params = self.init_params(self.cf.seed if seed is None else seed)
+        self.opt_state = self._optimizer.init(self.params)
+        n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(self.params))
+        if self.logger is not None:
+            self.logger.info(f"initialized {type(self).__name__} with {n_params/1e6:.2f}M parameters")
+
+    def state_dict(self):
+        return {
+            "params": jax.device_get(self.params),
+            "opt_state": jax.device_get(self.opt_state),
+        }
+
+    def load_state_dict(self, state):
+        self.params = jax.device_put(state["params"])
+        if state.get("opt_state") is not None:
+            self.opt_state = jax.device_put(state["opt_state"])
+
+    def load_params(self, params):
+        self.params = jax.device_put(params)

@@ -1,0 +1,406 @@
+"""RetinaNet (one-stage detector), 2D + 3D; also hosts Retina U-Net's shared
+pieces (heads + refine_detections).
+
+Capability-parity rebuild of ``models/retina_net.py`` (reference):
+  * classifier / box-regressor subnets: 4x 3x3 convs + final conv with
+    ``n_anchors_per_pos * out`` channels, shared across pyramid levels;
+  * anchor-level targets via gt_anchor_matching with class ids as positive
+    labels; CE + SHEM loss (NOT focal loss — preserving the reference's
+    choice, ``models/retina_net.py:126-164``) + smooth-L1 box loss;
+  * ``refine_detections``: batch-global top-``pre_nms_limit`` by fg prob,
+    delta decode (std_dev un-normalization, scale to image coords), window
+    clip, round, per-(element, class) NMS, then per-element top-k merge
+    (``models/retina_net.py:194-271``).
+
+TPU re-design: the whole train step (forward + matching + SHEM + losses +
+grads + adam update + detection refinement) is ONE jitted program — the
+reference's per-element host loop with NumPy matching and its mid-forward
+.cpu() hops disappear. All dynamic structures are fixed-shape + masked.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from medicaldetectiontoolkit_tpu.models import register
+from medicaldetectiontoolkit_tpu.models import base
+from medicaldetectiontoolkit_tpu.models.backbone import FPN, ConvND
+from medicaldetectiontoolkit_tpu.ops import anchors as anchor_ops
+from medicaldetectiontoolkit_tpu.ops import boxes as box_ops
+from medicaldetectiontoolkit_tpu.ops import losses as loss_ops
+from medicaldetectiontoolkit_tpu.ops import matching as match_ops
+from medicaldetectiontoolkit_tpu.ops import nms as nms_ops
+
+
+class DenseHead(nn.Module):
+    """Per-level dense prediction subnet (classifier or box regressor).
+
+    4 conv3x3(+relu) -> conv3x3 with A*out channels, reshaped channel-last to
+    (b, positions*A, out) so rows align with the anchor ordering contract
+    (see ops/anchors.py).
+    """
+
+    dim: int
+    n_features: int
+    out_per_anchor: int
+    n_anchors_per_pos: int
+    anchor_stride: int = 1
+    relu: str = "relu"
+    weight_init: Optional[str] = None
+    dtype: object = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kw = dict(dim=self.dim, relu=self.relu, weight_init=self.weight_init, dtype=self.dtype)
+        for _ in range(4):
+            x = ConvND(features=self.n_features, ks=3, stride=self.anchor_stride, pad=1, **kw)(x)
+        x = ConvND(
+            features=self.n_anchors_per_pos * self.out_per_anchor,
+            ks=3,
+            stride=self.anchor_stride,
+            pad=1,
+            dim=self.dim,
+            relu=None,
+            weight_init=self.weight_init,
+            dtype=self.dtype,
+        )(x)
+        b = x.shape[0]
+        return x.reshape(b, -1, self.out_per_anchor)
+
+
+class RetinaModule(nn.Module):
+    """FPN + shared dense heads (+ optional P0 segmentation head)."""
+
+    dim: int
+    n_channels: int
+    start_filts: int
+    end_filts: int
+    res_architecture: str
+    norm: Optional[str]
+    relu: str
+    sixth_pooling: bool
+    operate_stride1: bool
+    weight_init: Optional[str]
+    head_classes: int
+    n_rpn_features: int
+    n_anchors_per_pos: int
+    anchor_stride: int
+    pyramid_levels: Sequence[int]
+    num_seg_classes: int = 0  # > 0 adds the retina_unet P0 seg head
+    dtype: object = jnp.float32
+
+    @nn.compact
+    def __call__(self, img):
+        x = img.astype(self.dtype)
+        fpn_outs = FPN(
+            dim=self.dim,
+            n_channels=self.n_channels,
+            start_filts=self.start_filts,
+            end_filts=self.end_filts,
+            res_architecture=self.res_architecture,
+            norm=self.norm,
+            relu=self.relu,
+            sixth_pooling=self.sixth_pooling,
+            operate_stride1=self.operate_stride1,
+            weight_init=self.weight_init,
+            dtype=self.dtype,
+        )(x)
+
+        seg_logits = None
+        offset = 0
+        if self.operate_stride1:
+            offset = 1  # P0 prepended; detection heads read P2.. (ref retina_unet.py:487-490)
+        if self.num_seg_classes:
+            seg_logits = ConvND(
+                dim=self.dim, features=self.num_seg_classes, ks=1, relu=None,
+                weight_init=self.weight_init, dtype=jnp.float32,
+            )(fpn_outs[0])
+
+        selected = [fpn_outs[i + offset] for i in self.pyramid_levels]
+        cls_head = DenseHead(
+            dim=self.dim, n_features=self.n_rpn_features, out_per_anchor=self.head_classes,
+            n_anchors_per_pos=self.n_anchors_per_pos, anchor_stride=self.anchor_stride,
+            relu=self.relu, weight_init=self.weight_init, dtype=self.dtype,
+        )
+        box_head = DenseHead(
+            dim=self.dim, n_features=self.n_rpn_features, out_per_anchor=2 * self.dim,
+            n_anchors_per_pos=self.n_anchors_per_pos, anchor_stride=self.anchor_stride,
+            relu=self.relu, weight_init=self.weight_init, dtype=self.dtype,
+        )
+        class_logits = jnp.concatenate([cls_head(p) for p in selected], axis=1).astype(jnp.float32)
+        bb_deltas = jnp.concatenate([box_head(p) for p in selected], axis=1).astype(jnp.float32)
+        return class_logits, bb_deltas, seg_logits
+
+
+def refine_detections(anchors, class_logits, pred_deltas, cf) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batch-global candidate selection + per-(element,class) NMS.
+
+    Follows ``models/retina_net.py:194-271``: flatten foreground probs over
+    (batch, anchors, fg classes), keep the top ``cf.pre_nms_limit``, decode
+    deltas (un-normalize by rpn_bbox_std_dev, anchors normalized by cf.scale),
+    clip to cf.window, round, per-(element, class) NMS at
+    cf.detection_nms_threshold (+1-pixel IoU via the NMS op), merge per
+    element and keep cf.model_max_instances_per_batch_element.
+
+    Returns (detections (b, max_inst, 2*dim+2), mask (b, max_inst)) where the
+    trailing channels are (pred_class_id, score).
+    """
+    bsz, A, C = class_logits.shape
+    n_fg = C - 1
+    dim = cf.dim
+    max_inst = cf.model_max_instances_per_batch_element
+    k = min(cf.pre_nms_limit, bsz * A * n_fg)
+
+    probs = jax.nn.softmax(class_logits, axis=-1)
+    flat = probs[..., 1:].reshape(-1)
+    scores, flat_ix = jax.lax.top_k(flat, k)
+    cand_elem = flat_ix // (A * n_fg)
+    rem = flat_ix % (A * n_fg)
+    cand_anchor = rem // n_fg
+    cand_class = (rem % n_fg + 1).astype(jnp.int32)
+
+    scale = jnp.asarray(cf.scale, jnp.float32)
+    std = jnp.asarray(cf.rpn_bbox_std_dev, jnp.float32)
+    window = jnp.asarray(cf.window, jnp.float32)
+    anc = anchors[cand_anchor] / scale
+    dts = pred_deltas[cand_elem, cand_anchor] * std
+    boxes = box_ops.apply_box_deltas(anc, dts) * scale
+    boxes = jnp.round(box_ops.clip_boxes(boxes, window))
+
+    be_arr = jnp.repeat(jnp.arange(bsz), n_fg)
+    cl_arr = jnp.tile(jnp.arange(1, C), bsz)
+
+    def lane(be, cl):
+        valid = (cand_elem == be) & (cand_class == cl)
+        return nms_ops.nms(boxes, scores, cf.detection_nms_threshold, max_inst, valid=valid)
+
+    lane_idx, lane_mask = jax.vmap(lane)(be_arr, cl_arr)  # (b*n_fg, max_inst)
+    lane_idx = lane_idx.reshape(bsz, n_fg * max_inst)
+    lane_mask = lane_mask.reshape(bsz, n_fg * max_inst)
+
+    merged_scores = jnp.where(lane_mask, scores[jnp.clip(lane_idx, 0, k - 1)], -jnp.inf)
+    top_scores, top_pos = jax.lax.top_k(merged_scores, max_inst)  # (b, max_inst)
+    final_idx = jnp.take_along_axis(lane_idx, top_pos, axis=1)
+    final_mask = jnp.take_along_axis(lane_mask, top_pos, axis=1)
+    final_idx = jnp.clip(final_idx, 0, k - 1)
+
+    det = jnp.concatenate(
+        [
+            boxes[final_idx],
+            cand_class[final_idx][..., None].astype(jnp.float32),
+            scores[final_idx][..., None],
+        ],
+        axis=-1,
+    )
+    return det, final_mask
+
+
+@register("retina_net")
+class RetinaNetDetector(base.Detector):
+    """Host-facing RetinaNet with the reference's train/test_forward API."""
+
+    with_seg_head = False
+
+    # ---- construction ---------------------------------------------------
+
+    def build(self):
+        cf = self.cf
+        h, w = cf.patch_size[:2]
+        if h % 2**5 or w % 2**5:
+            raise ValueError("patch size must be divisible by 2**5 (e.g. 256, 320, 384, ...)")
+        self.np_anchors = anchor_ops.generate_pyramid_anchors(cf, self.logger).astype(np.float32)
+        self.anchors = jnp.asarray(self.np_anchors)
+        self.module = RetinaModule(
+            dim=cf.dim,
+            n_channels=cf.n_channels,
+            start_filts=cf.start_filts,
+            end_filts=cf.end_filts,
+            res_architecture=cf.res_architecture,
+            norm=cf.norm,
+            relu=cf.relu,
+            sixth_pooling=cf.sixth_pooling,
+            operate_stride1=cf.operate_stride1,
+            weight_init=cf.weight_init,
+            head_classes=cf.head_classes,
+            n_rpn_features=cf.n_rpn_features,
+            n_anchors_per_pos=cf.n_anchors_per_pos,
+            anchor_stride=cf.rpn_anchor_stride,
+            pyramid_levels=tuple(cf.pyramid_levels),
+            num_seg_classes=cf.num_seg_classes if self.with_seg_head else 0,
+            dtype=jnp.bfloat16 if cf.compute_dtype == "bfloat16" else jnp.float32,
+        )
+        self._rng = jax.random.PRNGKey(cf.seed)
+        self._train_step_fn = jax.jit(self._train_step, donate_argnums=(0, 1))
+        self._loss_eval_fn = jax.jit(self._loss_eval)
+        self._predict_fn = jax.jit(self._predict)
+
+    def init_params(self, seed: int = 0):
+        cf = self.cf
+        shape = (1, *cf.patch_size, cf.n_channels)
+        dummy = jnp.zeros(shape, jnp.float32)
+        return self.module.init(jax.random.PRNGKey(seed), dummy)["params"]
+
+    # ---- pure device functions -------------------------------------------
+
+    def _losses_and_outputs(self, params, rng, img, gt_boxes, gt_ids, gt_valid, seg):
+        cf = self.cf
+        class_logits, bb_deltas, seg_logits = self.module.apply({"params": params}, img)
+        bsz = img.shape[0]
+        neg_iou = 0.1 if cf.dim == 2 else 0.01
+
+        match_rngs = jax.random.split(rng, bsz * 2).reshape(2, bsz, -1)
+        matches, tdeltas = jax.vmap(
+            lambda r, gb, gi, gv: match_ops.gt_anchor_matching(
+                r, self.anchors, gb, gi, gv,
+                cf.anchor_matching_iou, neg_iou, cf.rpn_train_anchors_per_image,
+                jnp.asarray(cf.rpn_bbox_std_dev, jnp.float32),
+            )
+        )(match_rngs[0], gt_boxes, gt_ids, gt_valid)
+
+        class_losses, neg_sel = jax.vmap(
+            lambda r, m, cl: loss_ops.anchor_class_loss(
+                r, m, cl, cf.shem_poolsize, cf.rpn_train_anchors_per_image // 2
+            )
+        )(match_rngs[1], matches, class_logits)
+        bbox_losses = jax.vmap(loss_ops.anchor_bbox_loss)(tdeltas, bb_deltas, matches)
+
+        class_loss = jnp.mean(class_losses)
+        bbox_loss = jnp.mean(bbox_losses)
+        loss = class_loss + bbox_loss
+        monitor = {"class_loss": class_loss, "bbox_loss": bbox_loss}
+
+        if seg_logits is not None:
+            seg_logits_cf = jnp.moveaxis(seg_logits, -1, 1)  # channel-first for losses
+            seg_probs = jax.nn.softmax(seg_logits_cf, axis=1)
+            seg_onehot = loss_ops.one_hot_channels(seg, cf.num_seg_classes)
+            seg_dice = 1.0 - loss_ops.batch_dice(seg_probs, seg_onehot)
+            seg_ce = loss_ops.weighted_ce(seg_logits_cf, seg)
+            loss = loss + (seg_dice + seg_ce) / 2.0
+            monitor.update({"seg_dice_loss": seg_dice, "seg_ce_loss": seg_ce})
+
+        monitor["loss"] = loss
+        aux = {
+            "class_logits": class_logits,
+            "bb_deltas": bb_deltas,
+            "seg_logits": seg_logits,
+            "matches": matches,
+            "neg_sel": neg_sel,
+            "monitor": monitor,
+        }
+        return loss, aux
+
+    def _finalize_outputs(self, aux):
+        det, det_mask = refine_detections(self.anchors, aux["class_logits"], aux["bb_deltas"], self.cf)
+        seg_preds = None
+        if aux["seg_logits"] is not None:
+            seg_preds = jnp.argmax(aux["seg_logits"], axis=-1).astype(jnp.uint8)[:, None]  # (b,1,*sp)
+        return det, det_mask, seg_preds
+
+    def _train_step(self, params, opt_state, rng, lr, img, gt_boxes, gt_ids, gt_valid, seg):
+        (loss, aux), grads = jax.value_and_grad(
+            lambda p: self._losses_and_outputs(p, rng, img, gt_boxes, gt_ids, gt_valid, seg),
+            has_aux=True,
+        )(params)
+        updates, opt_state = self._optimizer.update(grads, opt_state, params)
+        updates = jax.tree_util.tree_map(lambda u: u * lr, updates)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        det, det_mask, seg_preds = self._finalize_outputs(aux)
+        return params, opt_state, aux["monitor"], det, det_mask, seg_preds, aux["matches"], aux["neg_sel"]
+
+    def _loss_eval(self, params, rng, img, gt_boxes, gt_ids, gt_valid, seg):
+        loss, aux = self._losses_and_outputs(params, rng, img, gt_boxes, gt_ids, gt_valid, seg)
+        det, det_mask, seg_preds = self._finalize_outputs(aux)
+        return aux["monitor"], det, det_mask, seg_preds, aux["matches"], aux["neg_sel"]
+
+    def _predict(self, params, img):
+        class_logits, bb_deltas, seg_logits = self.module.apply({"params": params}, img)
+        det, det_mask = refine_detections(self.anchors, class_logits, bb_deltas, self.cf)
+        seg_preds = None
+        if seg_logits is not None:
+            seg_preds = jnp.argmax(seg_logits, axis=-1).astype(jnp.uint8)[:, None]
+        return det, det_mask, seg_preds
+
+    # ---- host API ---------------------------------------------------------
+
+    def _next_rng(self):
+        self._rng, out = jax.random.split(self._rng)
+        return out
+
+    def _prep(self, batch):
+        cf = self.cf
+        img = base.image_to_device(batch["data"])
+        bsz = img.shape[0]
+        gt_boxes, gt_ids, gt_valid = base.pad_gt_boxes(
+            batch["bb_target"], batch["roi_labels"], bsz, cf.dim, cf.max_gt_boxes
+        )
+        seg = base.seg_to_device(batch["seg"]) if (self.with_seg_head and "seg" in batch) else jnp.zeros((bsz, 1) + img.shape[1:-1], jnp.int32)
+        return img, gt_boxes, gt_ids, gt_valid, seg
+
+    def _dummy_seg_preds(self, data_shape):
+        return np.zeros((data_shape[0], 1) + tuple(data_shape[2:]), dtype=np.float32)
+
+    def train_forward(self, batch, is_validation: bool = False, do_update: bool = True):
+        """Run one step (with optimizer update unless validating).
+
+        Returns the reference results dict: boxes (gt/pos_anchor/neg_anchor/
+        det), seg_preds, loss, monitor_values, logger_string.
+        """
+        cf = self.cf
+        img, gt_boxes, gt_ids, gt_valid, seg = self._prep(batch)
+        rng = self._next_rng()
+        if is_validation or not do_update:
+            monitor, det, det_mask, seg_preds, matches, neg_sel = self._loss_eval_fn(
+                self.params, rng, img, gt_boxes, gt_ids, gt_valid, seg
+            )
+        else:
+            lr = jnp.float32(self.current_lr)
+            (self.params, self.opt_state, monitor, det, det_mask, seg_preds, matches, neg_sel) = self._train_step_fn(
+                self.params, self.opt_state, rng, lr, img, gt_boxes, gt_ids, gt_valid, seg
+            )
+
+        box_results_list = [[] for _ in range(img.shape[0])]
+        base.add_gt_boxes_to_results(batch, box_results_list)
+        base.add_anchor_boxes_to_results(cf, self.np_anchors, matches, neg_sel, img.shape[1:-1], box_results_list)
+        base.detections_to_box_results(cf, det, det_mask, box_results_list)
+
+        monitor = {k: float(v) for k, v in monitor.items()}
+        results = {
+            "boxes": box_results_list,
+            "seg_preds": np.asarray(seg_preds) if seg_preds is not None else self._dummy_seg_preds(batch["data"].shape),
+            "loss": monitor["loss"],
+            "torch_loss": monitor["loss"],  # legacy key some callers expect
+            "monitor_values": {"loss": monitor["loss"], "class_loss": monitor["class_loss"]},
+            "logger_string": "loss: {0:.2f}, class: {1:.2f}, bbox: {2:.2f}".format(
+                monitor["loss"], monitor["class_loss"], monitor["bbox_loss"]
+            ),
+        }
+        return results
+
+    # per-epoch lr set by the trainer (reference exec.py:59-60)
+    current_lr = 1e-4
+
+    def test_forward(self, batch, **kwargs):
+        cf = self.cf
+        img = base.image_to_device(batch["data"])
+        det, det_mask, seg_preds = self._predict_fn(self.params, img)
+        boxes = base.detections_to_box_results(cf, det, det_mask)
+        return {
+            "boxes": boxes,
+            "seg_preds": np.asarray(seg_preds)
+            if seg_preds is not None
+            else self._dummy_seg_preds(batch["data"].shape),
+        }
+
+
+@register("retina_unet")
+class RetinaUNetDetector(RetinaNetDetector):
+    """Retina U-Net: RetinaNet + operate_stride1 FPN + P0 semantic seg head
+    with (dice + CE)/2 supervision (``models/retina_unet.py``)."""
+
+    with_seg_head = True

@@ -86,7 +86,9 @@ def test_gradient_matches_finite_differences(rng):
         return jnp.sum(R.roi_align(im, boxes, idx, (3, 3)) * jnp.arange(9.0).reshape(1, 3, 3, 1))
 
     g = np.asarray(jax.grad(loss)(jnp.array(img)))
-    eps = 1e-5
+    # roi_align is exactly linear in the image, so a large FD step is exact
+    # and dodges fp32 rounding noise.
+    eps = 0.5
     for (b, y, x, c) in [(0, 2, 3, 0), (0, 0, 0, 0), (0, 5, 5, 0), (0, 3, 1, 0)]:
         pert = img.copy()
         pert[b, y, x, c] += eps
