@@ -29,7 +29,7 @@ class configs(DefaultConfigs):
         self.select_prototype_subset = None
         self.hold_out_test_set = True
         # including val set. will be 3/4 train, 1/4 val.
-        self.n_train_val_data = 1500
+        self.n_train_val_data = int(os.environ.get("MDT_TOY_NTRAINVAL", 1500))
 
         # one of ['donuts_shape', 'donuts_pattern', 'circles_scale']
         toy_mode = os.environ.get("MDT_TOY_MODE", "donuts_shape")

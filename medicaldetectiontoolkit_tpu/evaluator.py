@@ -1,0 +1,368 @@
+"""Object- and patient-level evaluation (COCO-style AP, ROC-AUC).
+
+Behavior-equivalent rebuild of the reference's ``evaluator.py``:
+  * det<->gt matching per (match_iou x class x patient x batch element) into a
+    long-format dataframe with det_type in {det_tp, det_fp, det_fn,
+    patient_tn}; double assignments keep the max-score candidate, the rest
+    become fp (COCO rule, ``evaluator.py:110-132``);
+  * roi-level AP via the COCO 101-point interpolation
+    (``evaluator.py:402-437``), patient-level ROC-AUC/AP on per-pid max
+    aggregation (``evaluator.py:237-249``);
+  * cross-fold aggregation writing results.txt / results_table.txt
+    (``evaluator.py:316-357``), det-threshold scanning, and the tiny random
+    perturbation that keeps model selection rankable on small datasets
+    (``evaluator.py:309-311``).
+"""
+
+from __future__ import annotations
+
+import os
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+import pandas as pd
+from sklearn.metrics import average_precision_score, precision_recall_curve, roc_auc_score, roc_curve
+
+
+def _iou_matrix(boxes1, boxes2):
+    """Plain-IoU matrix (NumPy, matches ops.boxes.pairwise_iou offset 0)."""
+    dim = 2 if boxes1.shape[1] == 4 else 3
+    inter = np.ones((len(boxes1), len(boxes2)))
+    a1 = np.ones(len(boxes1))
+    a2 = np.ones(len(boxes2))
+    for ax in range(dim):
+        lo, hi = (0, 2) if ax == 0 else (1, 3) if ax == 1 else (4, 5)
+        seg = np.minimum(boxes1[:, hi][:, None], boxes2[:, hi][None]) - np.maximum(
+            boxes1[:, lo][:, None], boxes2[:, lo][None]
+        )
+        inter *= np.maximum(seg, 0.0)
+        a1 *= boxes1[:, hi] - boxes1[:, lo]
+        a2 *= boxes2[:, hi] - boxes2[:, lo]
+    union = a1[:, None] + a2[None] - inter
+    return np.where(union > 0, inter / np.where(union > 0, union, 1), 0.0)
+
+
+class Evaluator:
+    def __init__(self, cf, logger, mode="test"):
+        """mode: 'train', 'val_sampling', 'val_patient' or 'test'."""
+        self.cf = cf
+        self.logger = logger
+        self.mode = mode
+        self.test_df = None
+
+    def evaluate_predictions(self, results_list, monitor_metrics=None):
+        """Match detections to GT and build the long-format results dataframe.
+
+        results_list: train/val_sampling form
+        [[[box_lists...], [pids...]], ...] (one entry per batch) or patient
+        form [[results, pid], ...].
+        """
+        rows = {k: [] for k in ("pred_score", "class_label", "pred_class", "pid", "det_type")}
+        self.logger.info(f"evaluating in mode {self.mode}")
+
+        if self.mode == "train" or self.mode == "val_sampling":
+            batch_elements_list = [[b_box_list] for item in results_list for b_box_list in item[0]]
+            pid_list = [pid for item in results_list for pid in item[1]]
+        else:
+            batch_elements_list = [item[0] for item in results_list]
+            pid_list = [item[1] for item in results_list]
+
+        match_iou_col = []
+        for match_iou in self.cf.ap_match_ious:
+            self.logger.info(f"evaluating with match_iou: {match_iou}")
+            for cl in list(self.cf.class_dict.keys()):
+                for pix, pid in enumerate(pid_list):
+                    len_before_patient = len(rows["pid"])
+                    for b_boxes_list in batch_elements_list[pix]:
+                        self._match_element(rows, b_boxes_list, cl, pid, match_iou)
+                    # true-negative dummy so empty patients stay in patient stats
+                    if len(rows["pid"]) == len_before_patient:
+                        rows["pred_score"].append(0)
+                        rows["class_label"].append(0)
+                        rows["pred_class"].append(cl)
+                        rows["pid"].append(pid)
+                        rows["det_type"].append("patient_tn")
+            match_iou_col += [match_iou] * (len(rows["pid"]) - len(match_iou_col))
+
+        self.test_df = pd.DataFrame(
+            {
+                "pred_score": rows["pred_score"],
+                "class_label": rows["class_label"],
+                "pred_class": rows["pred_class"],
+                "pid": rows["pid"],
+                "det_type": rows["det_type"],
+                "fold": getattr(self.cf, "fold", 0),
+                "match_iou": match_iou_col,
+            }
+        )
+        if monitor_metrics is not None:
+            return self.return_metrics(monitor_metrics)
+
+    def _match_element(self, rows, b_boxes_list, cl, pid, match_iou):
+        """One batch element x one class: emit tp/fp/fn rows (COCO rules)."""
+        tar = np.array(
+            [box["box_coords"] for box in b_boxes_list if box["box_type"] == "gt" and box["box_label"] == cl]
+        )
+        cand = np.array(
+            [box["box_coords"] for box in b_boxes_list if box["box_type"] == "det" and box["box_pred_class_id"] == cl]
+        )
+        scores = np.array(
+            [box["box_score"] for box in b_boxes_list if box["box_type"] == "det" and box["box_pred_class_id"] == cl]
+        )
+
+        def emit(sc, lab, typ, n=None):
+            n = len(sc) if n is None else n
+            rows["pred_score"] += list(sc) if hasattr(sc, "__len__") else [sc] * n
+            rows["class_label"] += [lab] * n
+            rows["pred_class"] += [cl] * n
+            rows["pid"] += [pid] * n
+            rows["det_type"] += [typ] * n
+
+        if 0 not in cand.shape and 0 not in tar.shape:
+            overlaps = _iou_matrix(cand, tar)
+            match_cand_ixs = np.argwhere(np.max(overlaps, 1) > match_iou)[:, 0]
+            non_match_cand_ixs = np.argwhere(np.max(overlaps, 1) <= match_iou)[:, 0]
+            match_gt_ixs = np.argmax(overlaps[match_cand_ixs, :], 1) if 0 not in match_cand_ixs.shape else np.array([])
+            non_match_gt_ixs = np.array([ii for ii in np.arange(tar.shape[0]) if ii not in match_gt_ixs])
+            unique, counts = np.unique(match_gt_ixs, return_counts=True)
+
+            if np.any(counts > 1):  # double assignments: keep max score, rest fp
+                double_match_gt_ixs = unique[np.argwhere(counts > 1)[:, 0]]
+                keep_max, double_match_list = [], []
+                for dg in double_match_gt_ixs:
+                    double_match_cand_ixs = match_cand_ixs[np.argwhere(match_gt_ixs == dg)]
+                    keep_max.append(double_match_cand_ixs[np.argmax(scores[double_match_cand_ixs])])
+                    double_match_list += [ii for ii in double_match_cand_ixs]
+                fp_ixs = np.array([ii for ii in match_cand_ixs if (ii in double_match_list and ii not in keep_max)])
+                match_cand_ixs = np.array([ii for ii in match_cand_ixs if ii not in fp_ixs])
+                emit(scores[fp_ixs], 0, "det_fp")
+
+            if 0 not in match_cand_ixs.shape:
+                emit(scores[match_cand_ixs], 1, "det_tp")
+            if 0 not in non_match_cand_ixs.shape:
+                emit(scores[non_match_cand_ixs], 0, "det_fp")
+            if 0 not in non_match_gt_ixs.shape:
+                emit(0, 1, "det_fn", n=non_match_gt_ixs.shape[0])
+        elif 0 not in cand.shape:
+            emit(scores, 0, "det_fp")
+        elif 0 not in tar.shape:
+            emit(0, 1, "det_fn", n=tar.shape[0])
+
+    def return_metrics(self, monitor_metrics=None):
+        """AP/AUC per (class x score level); appends to monitor_metrics."""
+        from medicaldetectiontoolkit_tpu import plotting
+
+        df = self.test_df
+        all_stats = []
+        for cl in list(self.cf.class_dict.keys()):
+            cl_df = df[df.pred_class == cl]
+            for score_level in self.cf.report_score_level:
+                stats_dict = {"name": f"fold_{getattr(self.cf, 'fold', 0)} {score_level} cl_{cl}"}
+
+                if score_level == "rois":
+                    spec_df = cl_df[cl_df.det_type != "patient_tn"]
+                    stats_dict["ap"] = get_roi_ap_from_df([spec_df, self.cf.min_det_thresh, self.cf.per_patient_ap])
+                    stats_dict["auc"] = 0
+                    stats_dict["roc"] = None
+                    stats_dict["prc"] = None
+                    if len(df.fold.unique()) > 1:
+                        aps = [
+                            get_roi_ap_from_df([spec_df[spec_df.fold == fold], self.cf.min_det_thresh, self.cf.per_patient_ap])
+                            for fold in df.fold.unique()
+                        ]
+                        stats_dict["mean_ap"] = np.mean(aps)
+                        stats_dict["mean_auc"] = 0
+
+                if score_level == "patient":
+                    spec_df = cl_df.groupby(["pid"], as_index=False).agg(
+                        {"class_label": "max", "pred_score": "max", "fold": "first"}
+                    )
+                    if len(spec_df.class_label.unique()) > 1:
+                        stats_dict["auc"] = roc_auc_score(spec_df.class_label.tolist(), spec_df.pred_score.tolist())
+                        stats_dict["roc"] = roc_curve(spec_df.class_label.tolist(), spec_df.pred_score.tolist())
+                    else:
+                        stats_dict["auc"] = np.nan
+                        stats_dict["roc"] = np.nan
+                    if (spec_df.class_label == 1).any():
+                        stats_dict["ap"] = average_precision_score(
+                            spec_df.class_label.tolist(), spec_df.pred_score.tolist()
+                        )
+                        stats_dict["prc"] = precision_recall_curve(
+                            spec_df.class_label.tolist(), spec_df.pred_score.tolist()
+                        )
+                    else:
+                        stats_dict["ap"] = np.nan
+                        stats_dict["prc"] = np.nan
+                    if len(df.fold.unique()) > 1:
+                        aucs, aps = [], []
+                        for fold in df.fold.unique():
+                            fold_df = spec_df[spec_df.fold == fold]
+                            if len(fold_df.class_label.unique()) > 1:
+                                aucs.append(roc_auc_score(fold_df.class_label.tolist(), fold_df.pred_score.tolist()))
+                            if (fold_df.class_label == 1).any():
+                                aps.append(
+                                    average_precision_score(fold_df.class_label.tolist(), fold_df.pred_score.tolist())
+                                )
+                        stats_dict["mean_auc"] = np.mean(aucs) if aucs else np.nan
+                        stats_dict["mean_ap"] = np.mean(aps) if aps else np.nan
+
+                if monitor_metrics is not None and not (
+                    score_level == "patient" and cl != self.cf.patient_class_of_interest
+                ):
+                    score_level_name = "patient" if score_level == "patient" else self.cf.class_dict[cl]
+                    monitor_metrics[score_level_name + "_ap"].append(stats_dict["ap"] if stats_dict["ap"] > 0 else None)
+                    if score_level == "patient":
+                        monitor_metrics[score_level_name + "_auc"].append(
+                            stats_dict["auc"] if stats_dict["auc"] > 0 else None
+                        )
+
+                if self.cf.plot_prediction_histograms:
+                    out_filename = os.path.join(
+                        self.cf.plot_dir,
+                        "pred_hist_{}_{}_{}_cl{}".format(
+                            getattr(self.cf, "fold", 0), "val" if "val" in self.mode else self.mode, score_level, cl
+                        ),
+                    )
+                    type_list = None if score_level == "patient" else spec_df.det_type.tolist()
+                    plotting.plot_prediction_hist(
+                        spec_df.class_label.tolist(), spec_df.pred_score.tolist(), type_list, out_filename
+                    )
+
+                all_stats.append(stats_dict)
+
+                if self.cf.scan_det_thresh:
+                    conf_threshs = list(np.arange(0.9, 1, 0.01))
+                    with ThreadPoolExecutor(max_workers=10) as pool:
+                        aps = list(
+                            pool.map(get_roi_ap_from_df, [[spec_df, ii, self.cf.per_patient_ap] for ii in conf_threshs])
+                        )
+                    self.logger.info(
+                        "results from scanning over det_threshs: {}".format([[i, j] for i, j in zip(conf_threshs, aps)])
+                    )
+
+        if self.cf.plot_stat_curves:
+            out_filename = os.path.join(self.cf.plot_dir, f"{getattr(self.cf, 'fold', 0)}_{self.mode}_stat_curves")
+            plotting.plot_stat_curves(all_stats, out_filename)
+
+        # average over foreground classes on roi level
+        avg_ap = np.mean([d["ap"] for d in all_stats if "rois" in d["name"]])
+        all_stats.append({"name": "average_foreground_roi", "auc": 0, "ap": avg_ap})
+        if len(df.fold.unique()) > 1:
+            all_stats[-1]["mean_ap"] = np.mean([d["mean_ap"] for d in all_stats[:-1] if "rois" in d["name"]])
+            all_stats[-1]["mean_auc"] = 0
+
+        # perturb ties so small-dataset model selection stays rankable
+        if monitor_metrics is not None:
+            for sc in self.cf.model_selection_criteria:
+                if (
+                    "val" in self.mode
+                    and monitor_metrics[sc].count(monitor_metrics[sc][-1]) > 1
+                    and monitor_metrics[sc][-1] is not None
+                ):
+                    monitor_metrics[sc][-1] += 1e-6 * np.random.rand()
+
+        return all_stats, monitor_metrics
+
+    def score_test_df(self, internal_df=True):
+        """Write fold results to results.txt; aggregate across folds if done."""
+        if internal_df:
+            self.test_df.to_pickle(os.path.join(self.cf.exp_dir, f"{getattr(self.cf, 'fold', 0)}_test_df.pickle"))
+            stats, _ = self.return_metrics()
+            with open(os.path.join(self.cf.exp_dir, "results.txt"), "a") as handle:
+                handle.write("\n****************************\n")
+                handle.write(f"\nresults for fold {getattr(self.cf, 'fold', 0)} \n")
+                handle.write("\n****************************\n")
+                handle.write(f"\nfold df shape {self.test_df.shape}\n  \n")
+                for s in stats:
+                    handle.write("AUC {:0.4f}  AP {:0.4f} {} \n".format(s["auc"], s["ap"], s["name"]))
+
+        fold_df_paths = [ii for ii in os.listdir(self.cf.exp_dir) if "test_df.pickle" in ii]
+        if len(fold_df_paths) == self.cf.n_cv_splits:
+            with open(os.path.join(self.cf.exp_dir, "results.txt"), "a") as handle:
+                self.cf.fold = "overall"
+                dfs_list = [pd.read_pickle(os.path.join(self.cf.exp_dir, ii)) for ii in fold_df_paths]
+                for ix, df in enumerate(dfs_list):
+                    df["fold"] = ix
+                self.test_df = pd.concat(dfs_list)
+                stats, _ = self.return_metrics()
+                handle.write("\n****************************\n")
+                handle.write("\nOVERALL RESULTS \n")
+                handle.write("\n****************************\n")
+                handle.write(f"\ndf shape {self.test_df.shape}\n  \n")
+                for s in stats:
+                    handle.write(
+                        "\nAUC {:0.4f} (mu {:0.4f})  AP {:0.4f} (mu {:0.4f})  {}\n ".format(
+                            s["auc"], s.get("mean_auc", 0), s["ap"], s.get("mean_ap", 0), s["name"]
+                        )
+                    )
+                results_table_path = os.path.join(os.path.dirname(self.cf.exp_dir.rstrip("/")), "results_table.txt")
+                with open(results_table_path, "a") as handle2:
+                    for s in stats:
+                        handle2.write(
+                            "\nAUC {:0.4f} (mu {:0.4f})  AP {:0.4f} (mu {:0.4f})  {} {}".format(
+                                s["auc"], s.get("mean_auc", 0), s["ap"], s.get("mean_ap", 0), s["name"],
+                                os.path.basename(self.cf.exp_dir.rstrip("/")),
+                            )
+                        )
+                    handle2.write("\n")
+
+
+def get_roi_ap_from_df(inputs):
+    """AP over the roi-level df (optionally per patient then averaged)."""
+    df, det_thresh, per_patient_ap = inputs
+
+    if per_patient_ap:
+        pids_list = df.pid.unique()
+        aps = []
+        for match_iou in df.match_iou.unique():
+            iou_df = df[df.match_iou == match_iou]
+            for pid in pids_list:
+                pid_df = iou_df[iou_df.pid == pid]
+                all_p = len(pid_df[pid_df.class_label == 1])
+                pid_df = pid_df[(pid_df.det_type == "det_fp") | (pid_df.det_type == "det_tp")].sort_values(
+                    "pred_score", ascending=False
+                )
+                pid_df = pid_df[pid_df.pred_score > det_thresh]
+                if len(pid_df) == 0 and all_p == 0:
+                    pass
+                elif len(pid_df) > 0 and all_p == 0:
+                    aps.append(0)
+                else:
+                    aps.append(compute_roi_ap(pid_df, all_p))
+        return np.mean(aps)
+
+    aps = []
+    for match_iou in df.match_iou.unique():
+        iou_df = df[df.match_iou == match_iou]
+        all_p = len(iou_df[iou_df.class_label == 1])
+        iou_df = iou_df[(iou_df.det_type == "det_fp") | (iou_df.det_type == "det_tp")].sort_values(
+            "pred_score", ascending=False
+        )
+        iou_df = iou_df[iou_df.pred_score > det_thresh]
+        if all_p > 0:
+            aps.append(compute_roi_ap(iou_df, all_p))
+    return np.mean(aps) if aps else 0.0
+
+
+def compute_roi_ap(df, all_p):
+    """COCO 101-point interpolated AP over score-sorted tp/fp rows."""
+    tp = df.class_label.values
+    fp = (tp == 0) * 1
+    recall_thresholds = np.linspace(0.0, 1, 101, endpoint=True)
+    tp_sum = np.cumsum(tp)
+    fp_sum = np.cumsum(fp)
+    rc = tp_sum / all_p
+    pr = tp_sum / (fp_sum + tp_sum)
+
+    # precision envelope (monotone non-increasing from the right)
+    pr = pr.tolist()
+    for i in range(len(pr) - 1, 0, -1):
+        if pr[i] > pr[i - 1]:
+            pr[i - 1] = pr[i]
+
+    q = np.zeros(len(recall_thresholds))
+    inds = np.searchsorted(rc, recall_thresholds, side="left")
+    for ri, pi in enumerate(inds):
+        if pi < len(pr):
+            q[ri] = pr[pi]
+    return np.mean(q)
