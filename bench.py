@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Benchmark: LIDC-geometry 3D Retina U-Net training throughput per chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload: the reference's LIDC 3D configuration
+(``/root/reference/experiments/lidc_exp/configs.py:79-115,322``): patch
+128x128x64, batch 8, start_filts 18 / end_filts 36, retina anchor scales,
+n_rpn_features 64 — trained with the full jitted step (forward + on-device
+anchor matching + SHEM + losses + grads + adam + detection refinement).
+
+vs_baseline: ratio against the reference PyTorch pipeline's estimated V100
+throughput for the same model/batch. The reference publishes no numbers
+(BASELINE.md); we anchor on an engineering estimate of 2.4 patches/s
+(fw+bw ~3.3 s / 8-patch batch for 3D ResNet50-FPN + heads on one V100 at
+fp32 — consistent with the reference's ~30 min/epoch-of-200-batches era
+schedules). The north-star target is >= 5x that, i.e. vs_baseline >= 5.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/mdt_tpu_jax_cache")
+
+import numpy as np
+
+REF_V100_PATCHES_PER_SEC = 2.4  # documented estimate, see module docstring
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from medicaldetectiontoolkit_tpu.models import base as model_base
+    from medicaldetectiontoolkit_tpu.models import build_model
+    from medicaldetectiontoolkit_tpu.testing import make_batch, make_config
+
+    class _Log:
+        def info(self, *a, **k):
+            pass
+
+    batch_size = int(os.environ.get("MDT_BENCH_BATCH", 8))
+    cf = make_config(
+        model="retina_unet",
+        dim=3,
+        patch_size=[128, 128, 64],
+        start_filts=18,
+        end_filts=36,
+        batch_size=batch_size,
+    )
+    cf.n_rpn_features = 64
+    cf.pre_nms_limit = 50000
+    cf.model_max_instances_per_batch_element = 30
+    cf.rpn_train_anchors_per_image = 300  # LIDC 3D setting (lidc configs.py:257)
+    cf.compute_dtype = os.environ.get("MDT_BENCH_DTYPE", "float32")
+
+    net = build_model(cf, _Log())
+    net.initialize(seed=0)
+    net.current_lr = 1e-4
+
+    batch = make_batch(cf)
+    img = model_base.image_to_device(batch["data"])
+    gt_boxes, gt_ids, gt_valid = model_base.pad_gt_boxes(
+        batch["bb_target"], batch["roi_labels"], img.shape[0], cf.dim, cf.max_gt_boxes
+    )
+    seg = model_base.seg_to_device(batch["seg"])
+    rng = jax.random.PRNGKey(0)
+    lr = jnp.float32(1e-4)
+
+    params, opt_state = net.params, net.opt_state
+
+    def step(params, opt_state, i):
+        return net._train_step_fn(
+            params, opt_state, jax.random.fold_in(rng, i), lr, img, gt_boxes, gt_ids, gt_valid, seg
+        )
+
+    # warmup (compile + 2 steps)
+    out = step(params, opt_state, 0)
+    params, opt_state = out[0], out[1]
+    out = step(params, opt_state, 1)
+    params, opt_state = out[0], out[1]
+    jax.block_until_ready(out[2]["loss"])
+
+    n_steps = int(os.environ.get("MDT_BENCH_STEPS", 10))
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        out = step(params, opt_state, 2 + i)
+        params, opt_state = out[0], out[1]
+    jax.block_until_ready(out[2]["loss"])
+    dt = time.perf_counter() - t0
+
+    patches_per_sec = n_steps * batch_size / dt
+    print(
+        json.dumps(
+            {
+                "metric": "lidc3d_retina_unet_train_patches_per_sec_per_chip",
+                "value": round(patches_per_sec, 3),
+                "unit": "patches/s",
+                "vs_baseline": round(patches_per_sec / REF_V100_PATCHES_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    try:
+        main()
+    except Exception as e:  # emit a parseable failure record
+        print(json.dumps({"metric": "bench_error", "value": 0, "unit": str(e)[:200], "vs_baseline": 0}))
+        sys.exit(1)

@@ -1,0 +1,10 @@
+"""Device-mesh parallelism.
+
+The reference is strictly single-GPU (``net.cuda()`` pins device 0,
+``exec.py:38``; no DP/DDP/TP/NCCL anywhere — SURVEY §2.3). Scale-out here is
+TPU-native SPMD: a ``jax.sharding.Mesh`` + NamedSharding annotations turn the
+existing jitted train step into data-parallel execution with XLA-inserted
+gradient all-reduces over ICI — no hand-written communication layer.
+"""
+
+from medicaldetectiontoolkit_tpu.parallel.mesh import get_mesh, make_data_parallel_step, shard_batch  # noqa: F401
