@@ -112,6 +112,49 @@ class ResBlock(nn.Module):
         return nn.relu(out) if self.relu == "relu" else nn.leaky_relu(out, 0.01)
 
 
+class _RepeatedResBlock(nn.Module):
+    """Scan body: one identity-shaped ResBlock per iteration.
+
+    The 2nd..nth blocks of every ResNet stage share shapes, so they are run
+    under ``nn.scan`` with stacked params — XLA compiles the block ONCE per
+    stage instead of once per block, which matters here because compilation
+    goes through a remote TPU compile service (3D conv graphs are expensive
+    to compile). Runtime semantics are identical to sequential blocks.
+    """
+
+    dim: int
+    planes: int
+    norm: Optional[str]
+    relu: str
+    weight_init: Optional[str]
+    dtype: object
+
+    @nn.compact
+    def __call__(self, carry, _):
+        out = ResBlock(
+            dim=self.dim, planes=self.planes, norm=self.norm, relu=self.relu,
+            weight_init=self.weight_init, dtype=self.dtype,
+        )(carry)
+        return out, None
+
+
+def res_stage(x, planes, n_blocks, stride, dim, norm, relu, weight_init, dtype):
+    """First (strided, projected) block + scanned identity blocks."""
+    x = ResBlock(
+        dim=dim, planes=planes, stride=stride, downsample=True, norm=norm, relu=relu,
+        weight_init=weight_init, dtype=dtype,
+    )(x)
+    if n_blocks > 1:
+        scanned = nn.scan(
+            _RepeatedResBlock,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=n_blocks - 1,
+        )(dim=dim, planes=planes, norm=norm, relu=relu, weight_init=weight_init, dtype=dtype)
+        x, _ = scanned(x, None)
+    return x
+
+
 def _nearest_up(x, factor):
     """Nearest-neighbor upsample by integer factors per spatial axis
     (torch F.interpolate default mode)."""
@@ -172,29 +215,16 @@ class FPN(nn.Module):
             c1 = ConvND(features=sf, ks=7, stride=stem_stride, pad=3, **kw)(x)
 
         c2 = _maxpool(c1, d)
-        c2 = ResBlock(planes=sf, stride=1, downsample=True, **bkw)(c2)
-        for _ in range(1, n_blocks[0]):
-            c2 = ResBlock(planes=sf, **bkw)(c2)
-
-        c3 = ResBlock(planes=sf * 2, stride=2, downsample=True, **bkw)(c2)
-        for _ in range(1, n_blocks[1]):
-            c3 = ResBlock(planes=sf * 2, **bkw)(c3)
-
-        c4 = ResBlock(planes=sf * 4, stride=2, downsample=True, **bkw)(c3)
-        for _ in range(1, n_blocks[2]):
-            c4 = ResBlock(planes=sf * 4, **bkw)(c4)
-
-        c5 = ResBlock(planes=sf * 8, stride=2, downsample=True, **bkw)(c4)
-        for _ in range(1, n_blocks[3]):
-            c5 = ResBlock(planes=sf * 8, **bkw)(c5)
+        c2 = res_stage(c2, sf, n_blocks[0], 1, **bkw)
+        c3 = res_stage(c2, sf * 2, n_blocks[1], 2, **bkw)
+        c4 = res_stage(c3, sf * 4, n_blocks[2], 2, **bkw)
+        c5 = res_stage(c4, sf * 8, n_blocks[3], 2, **bkw)
 
         lat = dict(dim=d, norm=None, relu=None, weight_init=self.weight_init, dtype=self.dtype)
         up2 = (2,) * d
 
         if self.sixth_pooling:
-            c6 = ResBlock(planes=sf * 16, stride=2, downsample=True, **bkw)(c5)
-            for _ in range(1, n_blocks[3]):
-                c6 = ResBlock(planes=sf * 16, **bkw)(c6)
+            c6 = res_stage(c5, sf * 16, n_blocks[3], 2, **bkw)
             p6_pre = ConvND(features=self.end_filts, ks=1, **lat)(c6)
             p5_pre = ConvND(features=self.end_filts, ks=1, **lat)(c5) + _nearest_up(p6_pre, up2)
         else:

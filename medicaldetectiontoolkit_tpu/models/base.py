@@ -120,6 +120,31 @@ def add_anchor_boxes_to_results(cf, np_anchors, matches, neg_sel, img_shape_spat
     return box_results_list
 
 
+def unmold_mask(mask, bbox, image_shape):
+    """Resize a small (mask_shape) mask into its box within a full-size image.
+
+    Matches ``unmold_mask_2D/3D`` (``utils/model_utils.py:147-183``): order-1
+    zoom of the raw mask to the box extent, placed into a zero canvas.
+    """
+    from scipy import ndimage
+
+    dim = 2 if len(bbox) == 4 else 3
+    if dim == 2:
+        y1, x1, y2, x2 = [int(v) for v in bbox[:4]]
+        out_zoom = [y2 - y1, x2 - x1]
+    else:
+        y1, x1, y2, x2, z1, z2 = [int(v) for v in bbox[:6]]
+        out_zoom = [y2 - y1, x2 - x1, z2 - z1]
+    zoom_factor = [i / j for i, j in zip(out_zoom, mask.shape)]
+    small = ndimage.zoom(mask, zoom_factor, order=1).astype(np.float32)
+    full_mask = np.zeros(image_shape[:dim], dtype=np.float32)
+    if dim == 2:
+        full_mask[y1:y2, x1:x2] = small
+    else:
+        full_mask[y1:y2, x1:x2, z1:z2] = small
+    return full_mask
+
+
 def make_optimizer(cf):
     """torch.optim.Adam(lr, weight_decay) equivalent; lr applied per step.
 

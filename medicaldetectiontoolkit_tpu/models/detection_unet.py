@@ -1,1 +1,218 @@
-"""Placeholder for the detection_unet model family (built in a later milestone)."""
+"""Detection U-Net: semantic segmentation + non-parametric box heuristic.
+
+Capability-parity rebuild of the reference's ``models/detection_unet.py``:
+an operate_stride1 FPN with a 1x1 segmentation head, trained with dice / wce
+/ dice+wce losses (``detection_unet.py:123-131``); detections are derived
+WITHOUT parameters: per foreground class, argmax the softmax, run connected-
+component labeling, keep the n_roi_candidates largest components, box them
+(min-1/max+1 halo in-plane, clipped) and score each component by the max (or
+median) softmax inside it (``detection_unet.py:51-83,172-213``).
+
+Split: segmentation forward + loss + grads run in one jitted program;
+connected components are inherently host-side (scipy.ndimage.label), fed by
+the softmax map transferred once per step.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy import ndimage
+
+from medicaldetectiontoolkit_tpu.models import register
+from medicaldetectiontoolkit_tpu.models import base
+from medicaldetectiontoolkit_tpu.models.backbone import FPN, ConvND
+from medicaldetectiontoolkit_tpu.ops import losses as loss_ops
+
+import flax.linen as nn
+from typing import Optional
+
+
+class SegUNetModule(nn.Module):
+    dim: int
+    n_channels: int
+    start_filts: int
+    end_filts: int
+    res_architecture: str
+    norm: Optional[str]
+    relu: str
+    sixth_pooling: bool
+    weight_init: Optional[str]
+    num_seg_classes: int
+    dtype: object = jnp.float32
+
+    @nn.compact
+    def __call__(self, img):
+        fpn_outs = FPN(
+            dim=self.dim,
+            n_channels=self.n_channels,
+            start_filts=self.start_filts,
+            end_filts=self.end_filts,
+            res_architecture=self.res_architecture,
+            norm=self.norm,
+            relu=self.relu,
+            sixth_pooling=self.sixth_pooling,
+            operate_stride1=True,
+            weight_init=self.weight_init,
+            dtype=self.dtype,
+        )(img.astype(self.dtype))
+        seg_logits = ConvND(
+            dim=self.dim, features=self.num_seg_classes, ks=1, relu=None, norm=self.norm,
+            weight_init=self.weight_init, dtype=jnp.float32,
+        )(fpn_outs[0])
+        return seg_logits  # (b, *spatial, C)
+
+
+def get_coords(binary_mask, n_components, dim):
+    """Boxes around the n largest connected components per batch element.
+
+    binary_mask: (b, y, x, (z)) uint8. Returns (batch_coords, batch_components)
+    exactly like the reference (``detection_unet.py:172-213``): in-plane
+    coords get a -1/+1 halo and are clipped; z coords are [min, max+1].
+    """
+    binary_mask = binary_mask.astype("uint8")
+    batch_coords = []
+    batch_components = []
+    for b in binary_mask:
+        clusters, _ = ndimage.label(b)
+        uniques, counts = np.unique(clusters, return_counts=True)
+        keep_uniques = uniques[1:][np.argsort(counts[1:])[::-1]][:n_components]
+        p_components = np.array([(clusters == ii) * 1 for ii in keep_uniques])
+        p_coords = []
+        if p_components.shape[0] > 0:
+            for roi in p_components:
+                mask_ixs = np.argwhere(roi != 0)
+                roi_coords = [
+                    np.min(mask_ixs[:, 0]) - 1,
+                    np.min(mask_ixs[:, 1]) - 1,
+                    np.max(mask_ixs[:, 0]) + 1,
+                    np.max(mask_ixs[:, 1]) + 1,
+                ]
+                if dim == 3:
+                    roi_coords += [np.min(mask_ixs[:, 2]), np.max(mask_ixs[:, 2]) + 1]
+                p_coords.append(roi_coords)
+            p_coords = np.array(p_coords)
+            p_coords[p_coords < 0] = 0
+            p_coords[:, :4][p_coords[:, :4] > binary_mask.shape[-2]] = binary_mask.shape[-2]
+            if dim == 3:
+                p_coords[:, 4:][p_coords[:, 4:] > binary_mask.shape[-1]] = binary_mask.shape[-1]
+        batch_coords.append(p_coords)
+        batch_components.append(p_components)
+    return batch_coords, batch_components
+
+
+@register("detection_unet")
+class DetectionUNet(base.Detector):
+    def build(self):
+        cf = self.cf
+        self.module = SegUNetModule(
+            dim=cf.dim,
+            n_channels=cf.n_channels,
+            start_filts=cf.start_filts,
+            end_filts=cf.end_filts,
+            res_architecture=cf.res_architecture,
+            norm=cf.norm,
+            relu=cf.relu,
+            sixth_pooling=cf.sixth_pooling,
+            weight_init=cf.weight_init,
+            num_seg_classes=cf.num_seg_classes,
+            dtype=jnp.bfloat16 if cf.compute_dtype == "bfloat16" else jnp.float32,
+        )
+        self._train_step_fn = jax.jit(self._train_step, donate_argnums=(0, 1))
+        self._loss_eval_fn = jax.jit(self._loss_eval)
+        self._predict_fn = jax.jit(lambda p, img: jax.nn.softmax(self.module.apply({"params": p}, img), axis=-1))
+        self.current_lr = 1e-4
+
+    def init_params(self, seed: int = 0):
+        cf = self.cf
+        dummy = jnp.zeros((1, *cf.patch_size, cf.n_channels), jnp.float32)
+        return jax.jit(self.module.init)(jax.random.PRNGKey(seed), dummy)["params"]
+
+    # ---- device fns ----------------------------------------------------- #
+
+    def _seg_loss(self, seg_logits_cf, seg):
+        cf = self.cf
+        loss = jnp.float32(0.0)
+        if cf.seg_loss_mode in ("dice", "dice_wce"):
+            probs = jax.nn.softmax(seg_logits_cf, axis=1)
+            onehot = loss_ops.one_hot_channels(seg, cf.num_seg_classes)
+            loss = loss + 1.0 - loss_ops.batch_dice(probs, onehot, false_positive_weight=float(cf.fp_dice_weight))
+        if cf.seg_loss_mode in ("wce", "dice_wce"):
+            loss = loss + loss_ops.weighted_ce(seg_logits_cf, seg, cf.wce_weights)
+        return loss
+
+    def _losses(self, params, img, seg):
+        seg_logits = self.module.apply({"params": params}, img)
+        seg_logits_cf = jnp.moveaxis(seg_logits, -1, 1)
+        loss = self._seg_loss(seg_logits_cf, seg)
+        smax = jax.nn.softmax(seg_logits, axis=-1)
+        return loss, smax
+
+    def _train_step(self, params, opt_state, lr, img, seg):
+        (loss, smax), grads = jax.value_and_grad(lambda p: self._losses(p, img, seg), has_aux=True)(params)
+        updates, opt_state = self._optimizer.update(grads, opt_state, params)
+        updates = jax.tree_util.tree_map(lambda u: u * lr, updates)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        return params, opt_state, loss, smax
+
+    def _loss_eval(self, params, img, seg):
+        return self._losses(params, img, seg)
+
+    # ---- host heuristics -------------------------------------------------- #
+
+    def _boxes_from_softmax(self, smax):
+        """smax: (b, *spatial, C) numpy -> det box dicts per element."""
+        cf = self.cf
+        bsz = smax.shape[0]
+        argmaxed = np.argmax(smax, axis=-1)  # (b, *spatial)
+        box_results_list = [[] for _ in range(bsz)]
+        for cl in range(1, len(cf.class_dict.keys()) + 1):
+            hard_mask = (argmaxed == cl).astype("uint8")
+            box_coords, rois = get_coords(hard_mask, cf.n_roi_candidates, cf.dim)
+            for bix, broi in enumerate(rois):
+                for nix, nroi in enumerate(broi):
+                    vals = smax[bix, ..., cl][nroi > 0]
+                    score = float(np.max(vals)) if cf.aggregation_operation == "max" else float(np.median(vals))
+                    if score > cf.detection_min_confidence:
+                        box_results_list[bix].append(
+                            {
+                                "box_coords": np.copy(box_coords[bix][nix]),
+                                "box_score": score,
+                                "box_pred_class_id": cl,
+                                "box_type": "det",
+                            }
+                        )
+        return box_results_list
+
+    # ---- host API ---------------------------------------------------------- #
+
+    def train_forward(self, batch, is_validation: bool = False, do_update: bool = True):
+        img = base.image_to_device(batch["data"])
+        seg = base.seg_to_device(batch["seg"])
+        if is_validation or not do_update:
+            loss, smax = self._loss_eval_fn(self.params, img, seg)
+        else:
+            lr = jnp.float32(self.current_lr)
+            self.params, self.opt_state, loss, smax = self._train_step_fn(self.params, self.opt_state, lr, img, seg)
+        smax = np.asarray(smax)
+        boxes = self._boxes_from_softmax(smax)
+        base.add_gt_boxes_to_results(batch, boxes)
+        loss = float(loss)
+        return {
+            "boxes": boxes,
+            "seg_preds": np.argmax(smax, axis=-1)[:, None].astype("uint8"),
+            "loss": loss,
+            "torch_loss": loss,
+            "monitor_values": {"loss": loss},
+            "logger_string": f"loss: {loss:.2f}",
+        }
+
+    def test_forward(self, batch, **kwargs):
+        img = base.image_to_device(batch["data"])
+        smax = np.asarray(self._predict_fn(self.params, img))
+        boxes = self._boxes_from_softmax(smax)
+        return {
+            "boxes": boxes,
+            "seg_preds": np.argmax(smax, axis=-1)[:, None].astype("uint8"),
+        }

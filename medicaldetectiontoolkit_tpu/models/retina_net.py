@@ -244,7 +244,9 @@ class RetinaNetDetector(base.Detector):
         cf = self.cf
         shape = (1, *cf.patch_size, cf.n_channels)
         dummy = jnp.zeros(shape, jnp.float32)
-        return self.module.init(jax.random.PRNGKey(seed), dummy)["params"]
+        # jit the init: eager init compiles every op separately, which is
+        # prohibitively slow through a remote TPU compile service.
+        return jax.jit(self.module.init)(jax.random.PRNGKey(seed), dummy)["params"]
 
     # ---- pure device functions -------------------------------------------
 

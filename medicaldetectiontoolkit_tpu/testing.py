@@ -72,6 +72,26 @@ def make_config(model="retina_net", dim=2, patch_size=None, start_filts=4, end_f
     cf.roi_chunk_size = 100
     cf.post_nms_rois_training = 50
     cf.post_nms_rois_inference = 50
+    cf.n_plot_rpn_props = 3
+    cf.return_masks_in_val = True
+    cf.return_masks_in_test = False
+    # detection_unet specifics
+    cf.class_dict = {1: "benign", 2: "malignant"}
+    cf.n_roi_candidates = 3
+    cf.seg_loss_mode = "dice_wce"
+    cf.fp_dice_weight = 1
+    cf.wce_weights = [1] * cf.num_seg_classes
+    cf.aggregation_operation = "max"
+    cf.detection_min_confidence = 0.1
+    cf.min_det_thresh = 0.1
+    if model == "ufrcnn":
+        cf.frcnn_mode = True
+        cf.num_seg_classes = 3
+        cf.wce_weights = [1] * cf.num_seg_classes
+    if model == "detection_unet":
+        cf.num_seg_classes = 3
+        cf.head_classes = cf.num_seg_classes
+        cf.wce_weights = [1] * cf.num_seg_classes
     return cf
 
 
