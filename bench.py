@@ -72,9 +72,12 @@ def main():
     params, opt_state = net.params, net.opt_state
 
     def step(params, opt_state, i):
-        return net._train_step_fn(
+        out = net._train_step_fn(
             params, opt_state, jax.random.fold_in(rng, i), lr, img, gt_boxes, gt_ids, gt_valid, seg
         )
+        # detection refinement runs every train step in the reference, too
+        net._detect_fn(*out[3])
+        return out
 
     # warmup (compile + 2 steps)
     out = step(params, opt_state, 0)

@@ -149,7 +149,9 @@ def generate_synthetic_lidc(out_dir, n_patients=8, shape=(64, 96, 96), n_nodules
             ball = ((zz - cz) ** 2 / (r / 2) ** 2 + (yy - cy) ** 2 / r**2 + (xx - cx) ** 2 / r**2) < 1
             img[ball] += 1.0
             rois[ball] = i + 1
-            mal.append(rng.randint(1, 6))
+            # alternate benign/malignant so every tiny split contains both
+            # classes (class-balanced sampling needs both to exist)
+            mal.append(2 if (p + i) % 2 == 0 else 4)
         fg_slices = [int(ii) for ii in np.unique(np.argwhere(rois != 0)[:, 0])]
         np.save(os.path.join(out_dir, f"{pid}_img.npy"), img)
         np.save(os.path.join(out_dir, f"{pid}_rois.npy"), rois)

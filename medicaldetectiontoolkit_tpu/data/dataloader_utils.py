@@ -34,6 +34,7 @@ def get_class_balanced_patients(class_targets, batch_size, num_classes, slack_fa
     class_count = {k: 0 for k in range(num_classes)}
     weakest_class = 0
     for ix in range(batch_size):
+        tries = 0
         while True:
             cand = rng.choice(len(class_targets), 1)[0]
             cand_targets = list(class_targets[cand])
@@ -41,6 +42,12 @@ def get_class_balanced_patients(class_targets, batch_size, num_classes, slack_fa
             if (tmp_weakest_class != weakest_class and cand_targets.count(weakest_class) > 0) or ix < int(
                 batch_size * slack_factor
             ):
+                break
+            # safety bound absent in the reference: if the weakest class does
+            # not exist in the dataset at all, accept any candidate rather
+            # than spinning forever.
+            tries += 1
+            if tries > 100 * max(len(class_targets), batch_size):
                 break
         for c in range(num_classes):
             class_count[c] += list(class_targets[cand]).count(c)

@@ -324,9 +324,8 @@ def refine_detections(rois_norm, probs, deltas, batch_ix, cf, batch_size: int):
 
 def masked_topk_indices(key, k: int):
     """Indices of the k smallest keys; slots with key == +inf are invalid."""
-    order = jnp.argsort(key)
-    idx = order[:k]
-    return idx, jnp.isfinite(key[idx])
+    neg_vals, idx = jax.lax.top_k(-key, k)
+    return idx, jnp.isfinite(neg_vals)
 
 
 def detection_target_layer(rng, proposals_norm, prop_valid, class_scores, gt_boxes_norm, gt_ids, gt_valid,

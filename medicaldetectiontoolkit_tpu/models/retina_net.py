@@ -236,8 +236,12 @@ class RetinaNetDetector(base.Detector):
             dtype=jnp.bfloat16 if cf.compute_dtype == "bfloat16" else jnp.float32,
         )
         self._rng = jax.random.PRNGKey(cf.seed)
+        # the update step and the detection refinement are SEPARATE jitted
+        # programs: one monolithic program was too large for the TPU compile
+        # service on 3D LIDC geometry, and the split costs only one dispatch.
         self._train_step_fn = jax.jit(self._train_step, donate_argnums=(0, 1))
         self._loss_eval_fn = jax.jit(self._loss_eval)
+        self._detect_fn = jax.jit(self._finalize_outputs_jit)
         self._predict_fn = jax.jit(self._predict)
 
     def init_params(self, seed: int = 0):
@@ -297,11 +301,11 @@ class RetinaNetDetector(base.Detector):
         }
         return loss, aux
 
-    def _finalize_outputs(self, aux):
-        det, det_mask = refine_detections(self.anchors, aux["class_logits"], aux["bb_deltas"], self.cf)
+    def _finalize_outputs_jit(self, class_logits, bb_deltas, seg_logits):
+        det, det_mask = refine_detections(self.anchors, class_logits, bb_deltas, self.cf)
         seg_preds = None
-        if aux["seg_logits"] is not None:
-            seg_preds = jnp.argmax(aux["seg_logits"], axis=-1).astype(jnp.uint8)[:, None]  # (b,1,*sp)
+        if seg_logits is not None:
+            seg_preds = jnp.argmax(seg_logits, axis=-1).astype(jnp.uint8)[:, None]  # (b,1,*sp)
         return det, det_mask, seg_preds
 
     def _train_step(self, params, opt_state, rng, lr, img, gt_boxes, gt_ids, gt_valid, seg):
@@ -312,21 +316,17 @@ class RetinaNetDetector(base.Detector):
         updates, opt_state = self._optimizer.update(grads, opt_state, params)
         updates = jax.tree_util.tree_map(lambda u: u * lr, updates)
         params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
-        det, det_mask, seg_preds = self._finalize_outputs(aux)
-        return params, opt_state, aux["monitor"], det, det_mask, seg_preds, aux["matches"], aux["neg_sel"]
+        heads = (aux["class_logits"], aux["bb_deltas"], aux["seg_logits"])
+        return params, opt_state, aux["monitor"], heads, aux["matches"], aux["neg_sel"]
 
     def _loss_eval(self, params, rng, img, gt_boxes, gt_ids, gt_valid, seg):
         loss, aux = self._losses_and_outputs(params, rng, img, gt_boxes, gt_ids, gt_valid, seg)
-        det, det_mask, seg_preds = self._finalize_outputs(aux)
-        return aux["monitor"], det, det_mask, seg_preds, aux["matches"], aux["neg_sel"]
+        heads = (aux["class_logits"], aux["bb_deltas"], aux["seg_logits"])
+        return aux["monitor"], heads, aux["matches"], aux["neg_sel"]
 
     def _predict(self, params, img):
         class_logits, bb_deltas, seg_logits = self.module.apply({"params": params}, img)
-        det, det_mask = refine_detections(self.anchors, class_logits, bb_deltas, self.cf)
-        seg_preds = None
-        if seg_logits is not None:
-            seg_preds = jnp.argmax(seg_logits, axis=-1).astype(jnp.uint8)[:, None]
-        return det, det_mask, seg_preds
+        return class_logits, bb_deltas, seg_logits
 
     # ---- host API ---------------------------------------------------------
 
@@ -357,14 +357,15 @@ class RetinaNetDetector(base.Detector):
         img, gt_boxes, gt_ids, gt_valid, seg = self._prep(batch)
         rng = self._next_rng()
         if is_validation or not do_update:
-            monitor, det, det_mask, seg_preds, matches, neg_sel = self._loss_eval_fn(
+            monitor, heads, matches, neg_sel = self._loss_eval_fn(
                 self.params, rng, img, gt_boxes, gt_ids, gt_valid, seg
             )
         else:
             lr = jnp.float32(self.current_lr)
-            (self.params, self.opt_state, monitor, det, det_mask, seg_preds, matches, neg_sel) = self._train_step_fn(
+            (self.params, self.opt_state, monitor, heads, matches, neg_sel) = self._train_step_fn(
                 self.params, self.opt_state, rng, lr, img, gt_boxes, gt_ids, gt_valid, seg
             )
+        det, det_mask, seg_preds = self._detect_fn(*heads)
 
         box_results_list = [[] for _ in range(img.shape[0])]
         base.add_gt_boxes_to_results(batch, box_results_list)
@@ -390,7 +391,8 @@ class RetinaNetDetector(base.Detector):
     def test_forward(self, batch, **kwargs):
         cf = self.cf
         img = base.image_to_device(batch["data"])
-        det, det_mask, seg_preds = self._predict_fn(self.params, img)
+        heads = self._predict_fn(self.params, img)
+        det, det_mask, seg_preds = self._detect_fn(*heads)
         boxes = base.detections_to_box_results(cf, det, det_mask)
         return {
             "boxes": boxes,

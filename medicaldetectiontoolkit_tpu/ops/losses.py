@@ -65,18 +65,22 @@ def shem_select(rng, fg_scores, neg_mask, n_pos, max_count: int, poolsize: int):
     n_neg_avail = jnp.sum(neg_mask)
     negative_count = jnp.minimum(negative_count, n_neg_avail)
 
-    # rank negatives by descending fg score (stable; non-negatives last)
+    # static pool bound: only the top poolsize*max_count negatives can ever be
+    # in the pool, so a top-k (cheap on TPU) replaces a full argsort.
+    k_pool = min(poolsize * max_count, N)
     score_key = jnp.where(neg_mask, fg_scores, -jnp.inf)
-    order = jnp.argsort(-score_key)
-    rank = jnp.zeros((N,), jnp.int32).at[order].set(jnp.arange(N, dtype=jnp.int32))
-    in_pool = neg_mask & (rank < poolsize * negative_count)
+    pool_vals, pool_idx = jax.lax.top_k(score_key, k_pool)  # descending
+    in_pool = (jnp.arange(k_pool) < poolsize * negative_count) & (pool_vals > -jnp.inf)
 
-    # uniform draw of negative_count from the pool: random key + rank again
-    rand = jax.random.uniform(rng, (N,))
+    # uniform draw of negative_count from the pool (again via top-k)
+    rand = jax.random.uniform(rng, (k_pool,))
     draw_key = jnp.where(in_pool, rand, jnp.inf)
-    draw_order = jnp.argsort(draw_key)
-    draw_rank = jnp.zeros((N,), jnp.int32).at[draw_order].set(jnp.arange(N, dtype=jnp.int32))
-    return in_pool & (draw_rank < negative_count)
+    neg_draw_vals, draw_pos = jax.lax.top_k(-draw_key, min(max_count, k_pool))
+    take = (jnp.arange(draw_pos.shape[0]) < negative_count) & jnp.isfinite(neg_draw_vals)
+
+    sel = jnp.zeros((N,), bool)
+    scatter_ix = jnp.where(take, pool_idx[draw_pos], N)  # N -> dropped
+    return sel.at[scatter_ix].set(True, mode="drop")
 
 
 def anchor_class_loss(rng, matches, class_logits, shem_poolsize: int, max_neg: int):

@@ -85,14 +85,16 @@ def gt_anchor_matching(
     matches = jnp.where(anchor_iou_max >= pos_iou_threshold, matched_class, matches)
     matches = jnp.where(any_gt, matches, -1)
 
-    # 4. random positive subsampling to max_pos // 2
+    # 4. random positive subsampling to max_pos // 2 (top-k of random keys —
+    #    a full argsort over ~1e5-1e6 anchors is needlessly expensive)
     pos = matches > 0
     rand = jax.random.uniform(rng, (A,))
-    # rank positives by random draw; keep the max_pos//2 smallest draws
     pos_rank_key = jnp.where(pos, rand, jnp.inf)
-    order = jnp.argsort(pos_rank_key)
-    rank = jnp.zeros((A,), jnp.int32).at[order].set(jnp.arange(A, dtype=jnp.int32))
-    keep_pos = pos & (rank < max_pos // 2)
+    k = max(max_pos // 2, 1)
+    neg_vals, keep_idx = jax.lax.top_k(-pos_rank_key, min(k, A))
+    keep_valid = jnp.isfinite(neg_vals)
+    keep_mask = jnp.zeros((A,), bool).at[jnp.where(keep_valid, keep_idx, A)].set(True, mode="drop")
+    keep_pos = pos & keep_mask
     matches = jnp.where(pos & ~keep_pos, 0, matches)
 
     # 5. delta targets toward argmax GT, normalized

@@ -1,0 +1,126 @@
+"""Experiment-utils tests: checkpoints, model selection, snapshots, CSV."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+import medicaldetectiontoolkit_tpu.utils.exp_utils as utils
+
+
+class _Log:
+    def info(self, *a, **k):
+        pass
+
+    def warning(self, *a, **k):
+        pass
+
+
+class _Net:
+    def __init__(self):
+        self.params = {"w": np.arange(4.0)}
+        self.opt_state = {"m": np.zeros(4)}
+
+    def state_dict(self):
+        return {"params": self.params, "opt_state": self.opt_state}
+
+    def load_state_dict(self, state):
+        self.params = state["params"]
+        self.opt_state = state.get("opt_state", self.opt_state)
+
+
+class _Cf:
+    def __init__(self, tmp):
+        self.save_n_models = 2
+        self.min_save_thresh = 0
+        self.model_selection_criteria = ["benign_ap"]
+        self.fold_dir = str(tmp)
+        self.num_epochs = 5
+
+
+def _metrics(vals):
+    return {"val": {"benign_ap": [None] + list(vals)}, "train": {}}
+
+
+class TestModelSelector:
+    def test_topk_checkpoints_and_ranking(self, tmp_path):
+        cf = _Cf(tmp_path)
+        sel = utils.ModelSelector(cf, _Log())
+        net = _Net()
+        scores = [0.1, 0.5, 0.3, 0.7, 0.2]
+        for epoch in range(1, 6):
+            sel.run_model_selection(net, _metrics(scores[:epoch]), epoch)
+        ranking = np.load(os.path.join(cf.fold_dir, "epoch_ranking.npy"))
+        assert list(ranking) == [4, 2]  # epochs ranked by score desc, top-2
+        kept = sorted(d for d in os.listdir(cf.fold_dir) if "best_checkpoint" in d)
+        assert kept == ["2_best_checkpoint", "4_best_checkpoint"]
+        assert os.path.isdir(os.path.join(cf.fold_dir, "last_checkpoint"))
+
+    def test_resume_roundtrip(self, tmp_path):
+        cf = _Cf(tmp_path)
+        sel = utils.ModelSelector(cf, _Log())
+        net = _Net()
+        net.params = {"w": np.full(4, 3.25)}
+        sel.run_model_selection(net, _metrics([0.4]), 1)
+        net2 = _Net()
+        start_epoch, metrics = utils.load_checkpoint(os.path.join(cf.fold_dir, "last_checkpoint"), net2)
+        assert start_epoch == 2
+        np.testing.assert_array_equal(net2.params["w"], 3.25)
+        assert metrics["val"]["benign_ap"][-1] == 0.4
+
+
+class TestPrepExp:
+    def test_snapshot_and_reload(self, tmp_path):
+        exp_dir = str(tmp_path / "exp")
+        os.environ["MDT_TOY_ROOT"] = "/tmp/unused"
+        os.environ["MDT_MODEL"] = "retina_net"
+        cf = utils.prep_exp("experiments/toy_exp", exp_dir, use_stored_settings=False)
+        assert os.path.isfile(os.path.join(exp_dir, "configs.py"))
+        assert os.path.isfile(os.path.join(exp_dir, "default_configs.py"))
+        assert os.path.isfile(os.path.join(exp_dir, "model.py"))
+        assert os.path.isfile(os.path.join(exp_dir, "backbone.py"))
+        assert os.path.isdir(cf.plot_dir)
+        # stored-settings path re-imports from exp dir
+        cf2 = utils.prep_exp("experiments/toy_exp", exp_dir, use_stored_settings=True)
+        assert cf2.model == cf.model
+        # inference path loads stored configs only
+        cf3 = utils.prep_exp("experiments/toy_exp", exp_dir, is_training=False)
+        assert cf3.exp_dir == exp_dir
+
+
+class TestCsvOutput:
+    def test_csv_written(self, tmp_path):
+        class Cf:
+            exp_dir = str(tmp_path)
+            min_det_thresh = 0.1
+            fold = 0
+
+        results = [
+            [[[{"box_type": "det", "box_coords": np.array([1, 2, 3, 4]), "box_score": 0.9, "box_pred_class_id": 1},
+               {"box_type": "det", "box_coords": np.array([5, 6, 7, 8]), "box_score": 0.05, "box_pred_class_id": 2}]],
+             "patient_0"],
+        ]
+        df = utils.create_csv_output(results, Cf(), _Log())
+        assert len(df) == 1  # low-score prediction filtered
+        out = os.path.join(str(tmp_path), "results_0.csv")
+        assert os.path.isfile(out)
+
+
+class TestMonitoring:
+    def test_prepare_monitoring_structure(self, tmp_path):
+        class Cf:
+            report_score_level = ["patient", "rois"]
+            class_dict = {1: "benign", 2: "malignant"}
+            num_epochs = 3
+            plot_dir = str(tmp_path)
+            fold = 0
+            fold_dir = str(tmp_path)
+            do_validation = True
+            assign_values_to_extra_figure = {}
+            n_monitoring_figures = 1
+
+        metrics, plot = utils.prepare_monitoring(Cf())
+        assert "benign_ap" in metrics["train"] and "malignant_ap" in metrics["val"]
+        assert "patient_auc" in metrics["val"]
+        assert len(metrics["train"]["monitor_values"]) == 4
