@@ -54,7 +54,10 @@ def main():
     cf.pre_nms_limit = 50000
     cf.model_max_instances_per_batch_element = 30
     cf.rpn_train_anchors_per_image = 300  # LIDC 3D setting (lidc configs.py:257)
-    cf.compute_dtype = os.environ.get("MDT_BENCH_DTYPE", "float32")
+    # bfloat16 conv stack (losses/boxes stay fp32): the TPU-native precision
+    # choice; with fp32 the full-res stride-1 levels do not fit v5e HBM at
+    # batch 8 (lane padding inflates 18-channel tensors 7x).
+    cf.compute_dtype = os.environ.get("MDT_BENCH_DTYPE", "bfloat16")
 
     net = build_model(cf, _Log())
     net.initialize(seed=0)

@@ -100,5 +100,9 @@ class DefaultConfigs:
         # compute dtype for the conv stack ('float32' | 'bfloat16');
         # losses/box math stay float32
         self.compute_dtype = "float32"
+        # rematerialize backbone activations in the backward pass.
+        # None = auto (on for 3D, off for 2D); 3D volumes at training batch
+        # sizes do not fit HBM without it.
+        self.use_remat = None
         # data-parallel devices; None = all visible
         self.n_data_parallel = None

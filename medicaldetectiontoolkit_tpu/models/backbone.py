@@ -138,15 +138,22 @@ class _RepeatedResBlock(nn.Module):
         return out, None
 
 
-def res_stage(x, planes, n_blocks, stride, dim, norm, relu, weight_init, dtype):
-    """First (strided, projected) block + scanned identity blocks."""
-    x = ResBlock(
+def res_stage(x, planes, n_blocks, stride, dim, norm, relu, weight_init, dtype, remat=False):
+    """First (strided, projected) block + scanned identity blocks.
+
+    With ``remat``, block activations are rematerialized in the backward pass
+    (jax.checkpoint) — the standard TPU trade of FLOPs for HBM, needed to fit
+    3D volumes at training batch sizes.
+    """
+    first = nn.remat(ResBlock) if remat else ResBlock
+    x = first(
         dim=dim, planes=planes, stride=stride, downsample=True, norm=norm, relu=relu,
         weight_init=weight_init, dtype=dtype,
     )(x)
     if n_blocks > 1:
+        body = nn.remat(_RepeatedResBlock) if remat else _RepeatedResBlock
         scanned = nn.scan(
-            _RepeatedResBlock,
+            body,
             variable_axes={"params": 0},
             split_rngs={"params": True},
             length=n_blocks - 1,
@@ -196,6 +203,8 @@ class FPN(nn.Module):
     operate_stride1: bool = False
     weight_init: Optional[str] = None
     dtype: object = jnp.float32
+    # rematerialize stage activations in the backward pass (fit 3D volumes)
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -203,16 +212,20 @@ class FPN(nn.Module):
         sf = self.start_filts
         n_blocks = [3, 4, {"resnet50": 6, "resnet101": 23}[self.res_architecture], 3]
         kw = dict(dim=d, norm=self.norm, relu=self.relu, weight_init=self.weight_init, dtype=self.dtype)
-        bkw = dict(dim=d, norm=self.norm, relu=self.relu, weight_init=self.weight_init, dtype=self.dtype)
+        bkw = dict(
+            dim=d, norm=self.norm, relu=self.relu, weight_init=self.weight_init, dtype=self.dtype,
+            remat=self.remat,
+        )
         stem_stride = (2, 2, 1) if d == 3 else 2
+        Stem = nn.remat(ConvND) if self.remat else ConvND
 
         if self.operate_stride1:
-            c0 = ConvND(features=sf, ks=3, pad=1, **kw)(x)
-            c0 = ConvND(features=sf, ks=3, pad=1, **kw)(c0)
-            c1 = ConvND(features=sf, ks=7, stride=stem_stride, pad=3, **kw)(c0)
+            c0 = Stem(features=sf, ks=3, pad=1, **kw)(x)
+            c0 = Stem(features=sf, ks=3, pad=1, **kw)(c0)
+            c1 = Stem(features=sf, ks=7, stride=stem_stride, pad=3, **kw)(c0)
         else:
             c0 = x
-            c1 = ConvND(features=sf, ks=7, stride=stem_stride, pad=3, **kw)(x)
+            c1 = Stem(features=sf, ks=7, stride=stem_stride, pad=3, **kw)(x)
 
         c2 = _maxpool(c1, d)
         c2 = res_stage(c2, sf, n_blocks[0], 1, **bkw)
@@ -245,9 +258,10 @@ class FPN(nn.Module):
 
         if self.operate_stride1:
             up_aniso = (2, 2, 1) if d == 3 else (2, 2)
-            p1_pre = ConvND(features=self.end_filts, ks=1, **lat)(c1) + _linear_up(p2_pre, up_aniso)
-            p0_pre = ConvND(features=self.end_filts, ks=1, **lat)(c0) + _linear_up(p1_pre, up_aniso)
-            p0 = ConvND(features=self.end_filts, ks=3, pad=1, **lat)(p0_pre)
+            Lat = nn.remat(ConvND) if self.remat else ConvND  # full-res levels
+            p1_pre = Lat(features=self.end_filts, ks=1, **lat)(c1) + _linear_up(p2_pre, up_aniso)
+            p0_pre = Lat(features=self.end_filts, ks=1, **lat)(c0) + _linear_up(p1_pre, up_aniso)
+            p0 = Lat(features=self.end_filts, ks=3, pad=1, **lat)(p0_pre)
             out = [p0] + out
 
         return out

@@ -145,6 +145,12 @@ def unmold_mask(mask, bbox, image_shape):
     return full_mask
 
 
+def resolve_remat(cf) -> bool:
+    """cf.use_remat, or auto: remat on for 3D (does not fit HBM otherwise)."""
+    use = getattr(cf, "use_remat", None)
+    return bool(use) if use is not None else cf.dim == 3
+
+
 def make_optimizer(cf):
     """torch.optim.Adam(lr, weight_decay) equivalent; lr applied per step.
 

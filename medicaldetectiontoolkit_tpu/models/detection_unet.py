@@ -40,6 +40,7 @@ class SegUNetModule(nn.Module):
     sixth_pooling: bool
     weight_init: Optional[str]
     num_seg_classes: int
+    remat: bool = False
     dtype: object = jnp.float32
 
     @nn.compact
@@ -56,6 +57,7 @@ class SegUNetModule(nn.Module):
             operate_stride1=True,
             weight_init=self.weight_init,
             dtype=self.dtype,
+            remat=self.remat,
         )(img.astype(self.dtype))
         seg_logits = ConvND(
             dim=self.dim, features=self.num_seg_classes, ks=1, relu=None, norm=self.norm,
@@ -117,6 +119,7 @@ class DetectionUNet(base.Detector):
             sixth_pooling=cf.sixth_pooling,
             weight_init=cf.weight_init,
             num_seg_classes=cf.num_seg_classes,
+            remat=base.resolve_remat(cf),
             dtype=jnp.bfloat16 if cf.compute_dtype == "bfloat16" else jnp.float32,
         )
         self._train_step_fn = jax.jit(self._train_step, donate_argnums=(0, 1))

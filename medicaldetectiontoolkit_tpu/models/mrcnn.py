@@ -153,6 +153,7 @@ class MRCNNModule(nn.Module):
     mask_pool_size: Sequence[int]
     with_mask_head: bool = True
     num_seg_classes: int = 0  # > 0 adds the ufrcnn P0 seg head
+    remat: bool = False
     dtype: object = jnp.float32
 
     def setup(self):
@@ -168,6 +169,7 @@ class MRCNNModule(nn.Module):
             operate_stride1=self.operate_stride1,
             weight_init=self.weight_init,
             dtype=self.dtype,
+            remat=self.remat,
         )
         self.rpn = RPNHead(
             dim=self.dim, n_features=self.n_rpn_features, n_anchors_per_pos=self.n_anchors_per_pos,
@@ -461,6 +463,7 @@ class MaskRCNNDetector(base.Detector):
             mask_pool_size=tuple(cf.mask_pool_size),
             with_mask_head=self.with_mask_head and not cf.frcnn_mode,
             num_seg_classes=cf.num_seg_classes if self.with_seg_head else 0,
+            remat=base.resolve_remat(cf),
             dtype=jnp.bfloat16 if cf.compute_dtype == "bfloat16" else jnp.float32,
         )
         self._rng = jax.random.PRNGKey(cf.seed)

@@ -93,6 +93,7 @@ class RetinaModule(nn.Module):
     anchor_stride: int
     pyramid_levels: Sequence[int]
     num_seg_classes: int = 0  # > 0 adds the retina_unet P0 seg head
+    remat: bool = False
     dtype: object = jnp.float32
 
     @nn.compact
@@ -110,6 +111,7 @@ class RetinaModule(nn.Module):
             operate_stride1=self.operate_stride1,
             weight_init=self.weight_init,
             dtype=self.dtype,
+            remat=self.remat,
         )(x)
 
         seg_logits = None
@@ -233,6 +235,7 @@ class RetinaNetDetector(base.Detector):
             anchor_stride=cf.rpn_anchor_stride,
             pyramid_levels=tuple(cf.pyramid_levels),
             num_seg_classes=cf.num_seg_classes if self.with_seg_head else 0,
+            remat=base.resolve_remat(cf),
             dtype=jnp.bfloat16 if cf.compute_dtype == "bfloat16" else jnp.float32,
         )
         self._rng = jax.random.PRNGKey(cf.seed)
