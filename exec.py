@@ -52,11 +52,22 @@ def train(cf, data_loader, logger):
         start_time = time.time()
         train_results_list = []
 
+        profiling = getattr(cf, "profile", False) and epoch == starting_epoch
         for bix in range(cf.num_train_batches):
+            if profiling and bix == 2:  # skip compile steps, trace steady state
+                import jax
+
+                jax.profiler.start_trace(os.path.join(cf.exp_dir, "profile"))
             batch = next(batch_gen["train"])
             tic_fw = time.time()
             results_dict = net.train_forward(batch)
             train_time_step = time.time() - tic_fw
+            if profiling and bix == 6:
+                import jax
+
+                jax.profiler.stop_trace()
+                logger.info(f"profiler trace written to {os.path.join(cf.exp_dir, 'profile')}")
+                profiling = False
             logger.info(
                 "tr. batch {0}/{1} (ep. {2}) step {3:.3f}s || ".format(
                     bix + 1, cf.num_train_batches, epoch, train_time_step

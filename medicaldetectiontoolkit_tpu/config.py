@@ -104,5 +104,8 @@ class DefaultConfigs:
         # None = auto (on for 3D, off for 2D); 3D volumes at training batch
         # sizes do not fit HBM without it.
         self.use_remat = None
+        # capture a jax.profiler trace of a few steps of the first epoch into
+        # exp_dir/profile (inspect with TensorBoard / xprof)
+        self.profile = False
         # data-parallel devices; None = all visible
         self.n_data_parallel = None
