@@ -376,9 +376,15 @@ def detection_target_layer(rng, proposals_norm, prop_valid, class_scores, gt_box
     deltas = jnp.where(pos_valid[:, None], deltas, 0.0)
     target_class_pos = jnp.where(pos_valid, gt_ids[assignment].astype(jnp.int32), 0)
 
-    # mask targets: RoIAlign the assigned GT mask to mask_shape, thresholded
-    masks_src = gt_masks[..., None]  # (G, *sp, 1)
-    target_masks = roi_ops.roi_align(masks_src, pos_rois, assignment.astype(jnp.int32), tuple(cf.mask_shape))[..., 0]
+    # mask targets: gather the assigned GT masks FIRST (S_pos small), then
+    # RoIAlign to mask_shape — avoids materializing all padded GT masks in
+    # float32 (gt_masks arrive uint8, clipped to a small max_gt_masks cap)
+    n_masks = gt_masks.shape[0]
+    mask_assignment = jnp.clip(assignment, 0, n_masks - 1).astype(jnp.int32)
+    sel_masks = gt_masks[mask_assignment].astype(jnp.float32)[..., None]  # (S_pos, *sp, 1)
+    target_masks = roi_ops.roi_align(
+        sel_masks, pos_rois, jnp.arange(pos_rois.shape[0], dtype=jnp.int32), tuple(cf.mask_shape)
+    )[..., 0]
     target_masks = jnp.round(jnp.where(pos_valid.reshape((-1,) + (1,) * dim), target_masks, 0.0))
 
     # --- negative sampling via SHEM on predicted fg scores ---
@@ -700,14 +706,17 @@ class MaskRCNNDetector(base.Detector):
             batch["bb_target"], batch["roi_labels"], bsz, cf.dim, cf.max_gt_boxes
         )
         spatial = tuple(img.shape[1:-1])
-        gt_masks = np.zeros((bsz, cf.max_gt_boxes) + spatial, dtype=np.float32)
+        # masks stay uint8 and are capped separately from boxes: per element
+        # they cost |spatial| bytes each, which dominates HBM in 3D otherwise
+        max_gt_masks = min(cf.max_gt_boxes, getattr(cf, "max_gt_masks", 8))
+        gt_masks = np.zeros((bsz, max_gt_masks) + spatial, dtype=np.uint8)
         if "roi_masks" in batch:
             for b in range(bsz):
                 rm = np.asarray(batch["roi_masks"][b])
                 # (n_rois, 1, *spatial) or (n_rois, *spatial)
                 if rm.ndim == len(spatial) + 2:
                     rm = rm[:, 0]
-                n = min(rm.shape[0], cf.max_gt_boxes)
+                n = min(rm.shape[0], max_gt_masks)
                 if n and rm.shape[1:] == spatial:
                     gt_masks[b, :n] = rm[:n]
         gt_masks = jnp.asarray(gt_masks)
