@@ -98,13 +98,34 @@ def add_gt_boxes_to_results(batch, box_results_list):
     return box_results_list
 
 
-def add_anchor_boxes_to_results(cf, np_anchors, matches, neg_sel, img_shape_spatial, box_results_list):
-    """Append sampled pos/neg anchors (clipped) as monitoring box dicts."""
-    matches = np.asarray(matches)
-    neg_sel = np.asarray(neg_sel)
-    for b in range(matches.shape[0]):
-        for kind, mask in (("pos_anchor", matches[b] > 0), ("neg_anchor", neg_sel[b])):
-            sel = np_anchors[mask]
+def compact_anchor_indices(matches, neg_sel, max_pos: int, max_neg: int):
+    """(b, A) masks -> fixed small (idx, valid) pairs, computed on device.
+
+    Keeps the per-step device->host monitoring transfer at O(max_pos+max_neg)
+    instead of O(n_anchors).
+    """
+    import jax.numpy as jnp
+    import jax
+
+    def topk_mask(mask, k):
+        vals, idx = jax.lax.top_k(mask.astype(jnp.int32), k)
+        return idx, vals > 0
+
+    pos_idx, pos_valid = jax.vmap(lambda m: topk_mask(m > 0, max_pos))(matches)
+    neg_idx, neg_valid = jax.vmap(lambda m: topk_mask(m, max_neg))(neg_sel)
+    return pos_idx, pos_valid, neg_idx, neg_valid
+
+
+def add_anchor_boxes_to_results(cf, np_anchors, anchor_info, img_shape_spatial, box_results_list):
+    """Append sampled pos/neg anchors (clipped) as monitoring box dicts.
+
+    anchor_info: (pos_idx, pos_valid, neg_idx, neg_valid) from
+    compact_anchor_indices.
+    """
+    pos_idx, pos_valid, neg_idx, neg_valid = [np.asarray(a) for a in anchor_info]
+    for b in range(pos_idx.shape[0]):
+        for kind, idx, valid in (("pos_anchor", pos_idx[b], pos_valid[b]), ("neg_anchor", neg_idx[b], neg_valid[b])):
+            sel = np_anchors[idx[valid]]
             if not len(sel):
                 continue
             clipped = sel.copy()

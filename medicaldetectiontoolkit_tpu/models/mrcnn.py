@@ -610,6 +610,8 @@ class MaskRCNNDetector(base.Detector):
             monitor["seg_dice_loss"] = seg_dice
             monitor["loss"] = loss
 
+        max_half = max(cf.rpn_train_anchors_per_image // 2, 1)
+        anchor_info = base.compact_anchor_indices(rpn_match, neg_sel, max_half, max_half)
         aux = {
             "maps": maps,
             "flat_rois": flat_rois,
@@ -617,8 +619,7 @@ class MaskRCNNDetector(base.Detector):
             "cls_logits_all": cls_logits_all,
             "bbox_all": bbox_all,
             "out_proposals": out_proposals,
-            "rpn_match": rpn_match,
-            "neg_sel": neg_sel,
+            "anchor_info": anchor_info,
             "sampled_rois": s_rois,
             "sampled_valid": flat_valid.reshape(bsz, S),
             "sampled_class": s_class,
@@ -654,8 +655,7 @@ class MaskRCNNDetector(base.Detector):
             "det_mask": det_mask,
             "det_masks_raw": det_masks_raw,
             "seg_preds": seg_preds,
-            "rpn_match": aux["rpn_match"],
-            "neg_sel": aux["neg_sel"],
+            "anchor_info": aux["anchor_info"],
             "out_proposals": aux["out_proposals"],
             "sampled_rois": aux["sampled_rois"],
             "sampled_valid": aux["sampled_valid"],
@@ -671,8 +671,7 @@ class MaskRCNNDetector(base.Detector):
             "det_mask": det_mask,
             "det_masks_raw": det_masks_raw,
             "seg_preds": seg_preds,
-            "rpn_match": aux["rpn_match"],
-            "neg_sel": aux["neg_sel"],
+            "anchor_info": aux["anchor_info"],
             "out_proposals": aux["out_proposals"],
             "sampled_rois": aux["sampled_rois"],
             "sampled_valid": aux["sampled_valid"],
@@ -737,7 +736,7 @@ class MaskRCNNDetector(base.Detector):
         if train_info:
             base.add_gt_boxes_to_results(batch, box_results_list)
             base.add_anchor_boxes_to_results(
-                cf, self.np_anchors, outs["rpn_match"], outs["neg_sel"], img_shape[2:], box_results_list
+                cf, self.np_anchors, outs["anchor_info"], img_shape[2:], box_results_list
             )
             # top proposals for monitoring
             props = np.asarray(outs["out_proposals"])

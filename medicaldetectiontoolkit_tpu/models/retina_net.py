@@ -294,12 +294,13 @@ class RetinaNetDetector(base.Detector):
             monitor.update({"seg_dice_loss": seg_dice, "seg_ce_loss": seg_ce})
 
         monitor["loss"] = loss
+        max_half = max(cf.rpn_train_anchors_per_image // 2, 1)
+        anchor_info = base.compact_anchor_indices(matches, neg_sel, max_half, max_half)
         aux = {
             "class_logits": class_logits,
             "bb_deltas": bb_deltas,
             "seg_logits": seg_logits,
-            "matches": matches,
-            "neg_sel": neg_sel,
+            "anchor_info": anchor_info,
             "monitor": monitor,
         }
         return loss, aux
@@ -320,12 +321,12 @@ class RetinaNetDetector(base.Detector):
         updates = jax.tree_util.tree_map(lambda u: u * lr, updates)
         params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
         heads = (aux["class_logits"], aux["bb_deltas"], aux["seg_logits"])
-        return params, opt_state, aux["monitor"], heads, aux["matches"], aux["neg_sel"]
+        return params, opt_state, aux["monitor"], heads, aux["anchor_info"]
 
     def _loss_eval(self, params, rng, img, gt_boxes, gt_ids, gt_valid, seg):
         loss, aux = self._losses_and_outputs(params, rng, img, gt_boxes, gt_ids, gt_valid, seg)
         heads = (aux["class_logits"], aux["bb_deltas"], aux["seg_logits"])
-        return aux["monitor"], heads, aux["matches"], aux["neg_sel"]
+        return aux["monitor"], heads, aux["anchor_info"]
 
     def _predict(self, params, img):
         class_logits, bb_deltas, seg_logits = self.module.apply({"params": params}, img)
@@ -360,19 +361,19 @@ class RetinaNetDetector(base.Detector):
         img, gt_boxes, gt_ids, gt_valid, seg = self._prep(batch)
         rng = self._next_rng()
         if is_validation or not do_update:
-            monitor, heads, matches, neg_sel = self._loss_eval_fn(
+            monitor, heads, anchor_info = self._loss_eval_fn(
                 self.params, rng, img, gt_boxes, gt_ids, gt_valid, seg
             )
         else:
             lr = jnp.float32(self.current_lr)
-            (self.params, self.opt_state, monitor, heads, matches, neg_sel) = self._train_step_fn(
+            (self.params, self.opt_state, monitor, heads, anchor_info) = self._train_step_fn(
                 self.params, self.opt_state, rng, lr, img, gt_boxes, gt_ids, gt_valid, seg
             )
         det, det_mask, seg_preds = self._detect_fn(*heads)
 
         box_results_list = [[] for _ in range(img.shape[0])]
         base.add_gt_boxes_to_results(batch, box_results_list)
-        base.add_anchor_boxes_to_results(cf, self.np_anchors, matches, neg_sel, img.shape[1:-1], box_results_list)
+        base.add_anchor_boxes_to_results(cf, self.np_anchors, anchor_info, img.shape[1:-1], box_results_list)
         base.detections_to_box_results(cf, det, det_mask, box_results_list)
 
         monitor = {k: float(v) for k, v in monitor.items()}
