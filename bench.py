@@ -30,6 +30,27 @@ REF_V100_PATCHES_PER_SEC = 2.4  # documented estimate, see module docstring
 
 
 def main():
+    """Try the reference batch size first, backing off on HBM exhaustion.
+
+    The reference trains LIDC 3D at batch 8 on a 12 GB GPU; on a single
+    v5e (16 GB) the bf16+remat configuration may still exceed HBM due to
+    lane-padding of small channel counts, so the bench reports throughput at
+    the largest batch that fits (patches/sec normalizes across batch sizes).
+    """
+    last_err = None
+    for bs in [int(b) for b in os.environ.get("MDT_BENCH_BATCH", "8,4,2").split(",")]:
+        try:
+            return _run(bs)
+        except Exception as e:  # noqa: BLE001
+            if "RESOURCE_EXHAUSTED" in str(e) or "Resource" in type(e).__name__:
+                print(f"# batch {bs} exhausted HBM, retrying smaller", file=sys.stderr)
+                last_err = e
+                continue
+            raise
+    raise last_err
+
+
+def _run(batch_size):
     import jax
     import jax.numpy as jnp
 
@@ -40,8 +61,6 @@ def main():
     class _Log:
         def info(self, *a, **k):
             pass
-
-    batch_size = int(os.environ.get("MDT_BENCH_BATCH", 8))
     cf = make_config(
         model="retina_unet",
         dim=3,
