@@ -66,9 +66,9 @@ class configs(DefaultConfigs):
         #########################
         #  Schedule / Selection #
         #########################
-        self.num_epochs = 24
-        self.num_train_batches = 100
-        self.batch_size = 20
+        self.num_epochs = int(os.environ.get("MDT_TOY_EPOCHS", 24))
+        self.num_train_batches = int(os.environ.get("MDT_TOY_NTB", 100))
+        self.batch_size = int(os.environ.get("MDT_TOY_BS", 20))
 
         self.do_validation = True
         self.val_mode = "val_patient"  # 'val_patient' | 'val_sampling'
