@@ -58,7 +58,7 @@ def make_data_parallel_step(detector, mesh: Mesh, axis_name: str = DATA_AXIS):
 
     Signature matches Detector._train_step:
       (params, opt_state, rng, lr, img, gt_boxes, gt_ids, gt_valid, seg) ->
-      (params, opt_state, monitor, heads, matches, neg_sel)
+      (params, opt_state, monitor, heads, anchor_info)
 
     params/opt_state/rng/lr/monitor replicated; all batch-leading tensors
     sharded on the data axis. Gradient all-reduce is emitted by XLA from the
@@ -67,7 +67,7 @@ def make_data_parallel_step(detector, mesh: Mesh, axis_name: str = DATA_AXIS):
     repl = replicated(mesh)
     data = batch_sharded(mesh, axis_name)
     in_shardings = (repl, repl, repl, repl, data, data, data, data, data)
-    out_shardings = (repl, repl, repl, data, data, data)
+    out_shardings = (repl, repl, repl, data, data)
     return jax.jit(
         detector._train_step,
         in_shardings=in_shardings,
