@@ -73,15 +73,19 @@ class configs(DefaultConfigs):
         self.do_validation = True
         self.val_mode = "val_patient"  # 'val_patient' | 'val_sampling'
         if self.val_mode == "val_patient":
-            self.max_val_patients = None
+            _mv = os.environ.get("MDT_TOY_MAXVAL")
+            self.max_val_patients = int(_mv) if _mv else None
         if self.val_mode == "val_sampling":
             self.num_val_batches = 50
 
         #########################
         #   Testing / Plotting  #
         #########################
-        self.save_n_models = 5
-        self.test_n_epochs = 5
+        self.save_n_models = int(os.environ.get("MDT_TOY_SAVE_N", 5))
+        self.test_n_epochs = int(os.environ.get("MDT_TOY_TEST_N", 5))
+        self.max_test_patients = (
+            int(os.environ["MDT_TOY_MAXTEST"]) if os.environ.get("MDT_TOY_MAXTEST") else "all"
+        )
         self.min_save_thresh = 0
         self.report_score_level = ["patient", "rois"]
         self.class_dict = {1: "benign", 2: "malignant"}
