@@ -93,6 +93,12 @@ class Predictor:
             self.net.load_params(load_checkpoint_state(weight_path)["params"])
             self.rank_ix = str(rank_ix)
 
+            # restart patient iteration per rank: with max_test_patients <
+            # dataset size, each rank must see the SAME patient subset (the
+            # reference's iterator keeps cycling and crashes in that case)
+            if hasattr(batch_gen["test"], "patient_ix"):
+                batch_gen["test"].patient_ix = 0
+
             for _ in range(batch_gen["n_test"]):
                 batch = next(batch_gen["test"])
                 if rank_ix == 0:
