@@ -31,7 +31,6 @@ is ONE jitted program. RoIAlign and NMS are the XLA ops from ops/.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Sequence
 
 import flax.linen as nn

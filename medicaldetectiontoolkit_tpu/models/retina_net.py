@@ -20,7 +20,6 @@ reference's per-element host loop with NumPy matching and its mid-forward
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn

@@ -101,10 +101,7 @@ def gt_anchor_matching(
     target_gt = gt_boxes[anchor_iou_argmax]
     safe_anchors = anchors.astype(jnp.float32)
     # guard degenerate padded GTs against log(0)/div0 — rows are masked anyway
-    dim = box_ops.box_dim(anchors)
     safe_gt = jnp.where((matches > 0)[:, None], target_gt, safe_anchors)
     deltas = box_ops.box_refinement(safe_anchors, safe_gt) / jnp.asarray(bbox_std_dev, jnp.float32)
     deltas = jnp.where((matches > 0)[:, None], deltas, 0.0)
-
-    del dim
     return matches, deltas.astype(jnp.float32)
