@@ -138,6 +138,21 @@ class _RepeatedResBlock(nn.Module):
         return out, None
 
 
+def maybe_remat(cls, remat: bool):
+    """nn.remat that keeps the original module name.
+
+    flax names transformed classes "Checkpoint<name>", which would change the
+    param PyTree keys — toggling remat would invalidate checkpoints. Restoring
+    __name__ keeps param trees identical with and without remat.
+    """
+    if not remat:
+        return cls
+    wrapped = nn.remat(cls)
+    wrapped.__name__ = cls.__name__
+    wrapped.__qualname__ = cls.__qualname__
+    return wrapped
+
+
 def res_stage(x, planes, n_blocks, stride, dim, norm, relu, weight_init, dtype, remat=False):
     """First (strided, projected) block + scanned identity blocks.
 
@@ -145,13 +160,13 @@ def res_stage(x, planes, n_blocks, stride, dim, norm, relu, weight_init, dtype, 
     (jax.checkpoint) — the standard TPU trade of FLOPs for HBM, needed to fit
     3D volumes at training batch sizes.
     """
-    first = nn.remat(ResBlock) if remat else ResBlock
+    first = maybe_remat(ResBlock, remat)
     x = first(
         dim=dim, planes=planes, stride=stride, downsample=True, norm=norm, relu=relu,
         weight_init=weight_init, dtype=dtype,
     )(x)
     if n_blocks > 1:
-        body = nn.remat(_RepeatedResBlock) if remat else _RepeatedResBlock
+        body = maybe_remat(_RepeatedResBlock, remat)
         scanned = nn.scan(
             body,
             variable_axes={"params": 0},
@@ -217,7 +232,7 @@ class FPN(nn.Module):
             remat=self.remat,
         )
         stem_stride = (2, 2, 1) if d == 3 else 2
-        Stem = nn.remat(ConvND) if self.remat else ConvND
+        Stem = maybe_remat(ConvND, self.remat)
 
         if self.operate_stride1:
             c0 = Stem(features=sf, ks=3, pad=1, **kw)(x)
@@ -258,7 +273,7 @@ class FPN(nn.Module):
 
         if self.operate_stride1:
             up_aniso = (2, 2, 1) if d == 3 else (2, 2)
-            Lat = nn.remat(ConvND) if self.remat else ConvND  # full-res levels
+            Lat = maybe_remat(ConvND, self.remat)  # full-res levels
             p1_pre = Lat(features=self.end_filts, ks=1, **lat)(c1) + _linear_up(p2_pre, up_aniso)
             p0_pre = Lat(features=self.end_filts, ks=1, **lat)(c0) + _linear_up(p1_pre, up_aniso)
             p0 = Lat(features=self.end_filts, ks=3, pad=1, **lat)(p0_pre)
