@@ -254,17 +254,21 @@ def proposal_layer(rpn_probs_fg, rpn_deltas, anchors, cf, proposal_count: int):
     norm = jnp.asarray(cf.scale, jnp.float32)
     k = min(cf.pre_nms_limit, anchors.shape[0])
 
-    def one_element(scores, deltas):
+    def prep(scores, deltas):
         top_scores, order = jax.lax.top_k(scores, k)
         boxes = box_ops.apply_box_deltas(anchors[order], deltas[order] * std)
-        boxes = box_ops.clip_boxes(boxes, window)
-        keep_idx, keep_mask = nms_ops.nms(boxes, top_scores, cf.rpn_nms_threshold, proposal_count)
-        safe = jnp.clip(keep_idx, 0, k - 1)
-        out_boxes = jnp.where(keep_mask[:, None], boxes[safe], 0.0)
-        out_scores = jnp.where(keep_mask, top_scores[safe], 0.0)
-        return out_boxes / norm, jnp.concatenate([out_boxes, out_scores[:, None]], axis=1), keep_mask
+        return box_ops.clip_boxes(boxes, window), top_scores
 
-    return jax.vmap(one_element)(rpn_probs_fg, rpn_deltas)
+    boxes_b, scores_b = jax.vmap(prep)(rpn_probs_fg, rpn_deltas)  # (b, k, 2d), (b, k)
+    keep_idx, keep_mask = nms_ops.batched_nms_auto(boxes_b, scores_b, cf.rpn_nms_threshold, proposal_count)
+
+    def gather(boxes, top_scores, kidx, kmask):
+        safe = jnp.clip(kidx, 0, k - 1)
+        out_boxes = jnp.where(kmask[:, None], boxes[safe], 0.0)
+        out_scores = jnp.where(kmask, top_scores[safe], 0.0)
+        return out_boxes / norm, jnp.concatenate([out_boxes, out_scores[:, None]], axis=1), kmask
+
+    return jax.vmap(gather)(boxes_b, scores_b, keep_idx, keep_mask)
 
 
 def refine_detections(rois_norm, probs, deltas, batch_ix, cf, batch_size: int):
@@ -303,11 +307,17 @@ def refine_detections(rois_norm, probs, deltas, batch_ix, cf, batch_size: int):
     be_arr = jnp.repeat(jnp.arange(batch_size), n_fg)
     cl_arr = jnp.tile(cls_range, batch_size)
 
-    def lane(be, cl):
-        valid = conf_ok & (cand_batch == be) & (cand_class == cl)
-        return nms_ops.nms(boxes, cand_scores, cf.detection_nms_threshold, max_inst, valid=valid)
-
-    lane_idx, lane_mask = jax.vmap(lane)(be_arr, cl_arr)
+    # one NMS lane per (element, class); Pallas kernel on TPU backends
+    lane_valid = (
+        conf_ok[None, :]
+        & (cand_batch[None, :] == be_arr[:, None])
+        & (cand_class[None, :] == cl_arr[:, None])
+    )
+    lane_boxes = jnp.broadcast_to(boxes, (be_arr.shape[0],) + boxes.shape)
+    lane_scores = jnp.broadcast_to(cand_scores, (be_arr.shape[0],) + cand_scores.shape)
+    lane_idx, lane_mask = nms_ops.batched_nms_auto(
+        lane_boxes, lane_scores, cf.detection_nms_threshold, max_inst, valid=lane_valid
+    )
     lane_idx = lane_idx.reshape(batch_size, n_fg * max_inst)
     lane_mask = lane_mask.reshape(batch_size, n_fg * max_inst)
 

@@ -177,11 +177,13 @@ def refine_detections(anchors, class_logits, pred_deltas, cf) -> Tuple[jnp.ndarr
     be_arr = jnp.repeat(jnp.arange(bsz), n_fg)
     cl_arr = jnp.tile(jnp.arange(1, C), bsz)
 
-    def lane(be, cl):
-        valid = (cand_elem == be) & (cand_class == cl)
-        return nms_ops.nms(boxes, scores, cf.detection_nms_threshold, max_inst, valid=valid)
-
-    lane_idx, lane_mask = jax.vmap(lane)(be_arr, cl_arr)  # (b*n_fg, max_inst)
+    # one NMS lane per (element, class); Pallas kernel on TPU backends
+    lane_valid = (cand_elem[None, :] == be_arr[:, None]) & (cand_class[None, :] == cl_arr[:, None])
+    lane_boxes = jnp.broadcast_to(boxes, (be_arr.shape[0],) + boxes.shape)
+    lane_scores = jnp.broadcast_to(scores, (be_arr.shape[0],) + scores.shape)
+    lane_idx, lane_mask = nms_ops.batched_nms_auto(
+        lane_boxes, lane_scores, cf.detection_nms_threshold, max_inst, valid=lane_valid
+    )  # (b*n_fg, max_inst)
     lane_idx = lane_idx.reshape(bsz, n_fg * max_inst)
     lane_mask = lane_mask.reshape(bsz, n_fg * max_inst)
 

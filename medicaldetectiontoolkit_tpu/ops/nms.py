@@ -99,6 +99,22 @@ def batched_nms(boxes, scores, iou_threshold, max_output: int, valid=None, pixel
     return jax.vmap(lambda b, s, v: fn(b, s, iou_threshold, valid=v))(boxes, scores, valid)
 
 
+def batched_nms_auto(boxes, scores, iou_threshold, max_output: int, valid=None, pixel_offset: float = 1.0):
+    """Batched NMS choosing the Pallas TPU kernel when a TPU backend is live.
+
+    The Pallas select-and-suppress kernel keeps the whole loop on-chip and is
+    ~4x faster than the XLA formulation at detection-candidate sizes; the XLA
+    path remains the off-TPU fallback and the correctness oracle. The backend
+    decision happens at trace time.
+    """
+    backend = jax.default_backend()
+    if backend in ("tpu", "axon"):
+        from medicaldetectiontoolkit_tpu.ops.nms_pallas import nms_pallas
+
+        return nms_pallas(boxes, scores, iou_threshold, max_output, valid=valid, pixel_offset=pixel_offset)
+    return batched_nms(boxes, scores, iou_threshold, max_output, valid=valid, pixel_offset=pixel_offset)
+
+
 def nms_numpy_reference(boxes, scores, iou_threshold, pixel_offset: float = 1.0):
     """Straight NumPy greedy NMS used as the test oracle.
 

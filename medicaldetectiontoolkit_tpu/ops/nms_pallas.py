@@ -28,16 +28,20 @@ NEG_INF = float("-inf")
 
 def _nms_kernel_factory(dim: int, max_output: int, n: int, pixel_offset: float):
     def kernel(coords_ref, scores_ref, thresh_ref, idx_ref, mask_ref, active):
-        # coords_ref: (1, n_coords, N) | scores_ref: (1, N)
-        # idx_ref/mask_ref: (1, max_output) int32 | active: VMEM (1, N) scratch
-        active[:] = scores_ref[:]
+        # coords_ref: (1, n_coords, N) | scores_ref: (1, 1, N)
+        # idx_ref/mask_ref: (1, 1, max_output) int32 | active: VMEM (1, N)
+        active[:] = scores_ref[0]
         col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, n), dimension=1)
+        out_cols = jax.lax.broadcasted_iota(jnp.int32, (1, max_output), dimension=1)
         thresh = thresh_ref[0]
 
-        def body(i, _):
-            row = active[0, :]
-            best = jnp.argmax(row)
-            best_ok = row[best] > NEG_INF
+        def body(i, carry):
+            idx_acc, mask_acc = carry
+            row = active[:]  # (1, n)
+            best_score = jnp.max(row)
+            best = jnp.argmax(row).astype(jnp.int32)  # flat == column (1 row)
+            best_ok = best_score > NEG_INF
+            onehot = col_ids == best  # winner extraction without dynamic_slice
 
             inter = jnp.ones((1, n), jnp.float32)
             area_b = jnp.float32(1.0)
@@ -46,8 +50,8 @@ def _nms_kernel_factory(dim: int, max_output: int, n: int, pixel_offset: float):
                 lo_i, hi_i = (0, 2) if ax == 0 else (1, 3) if ax == 1 else (4, 5)
                 lo = coords_ref[0, lo_i, :].reshape(1, n)
                 hi = coords_ref[0, hi_i, :].reshape(1, n)
-                blo = coords_ref[0, lo_i, best]
-                bhi = coords_ref[0, hi_i, best]
+                blo = jnp.sum(jnp.where(onehot, lo, 0.0))
+                bhi = jnp.sum(jnp.where(onehot, hi, 0.0))
                 seg = jnp.minimum(bhi, hi) - jnp.maximum(blo, lo) + pixel_offset
                 inter = inter * jnp.maximum(seg, 0.0)
                 area_b = area_b * (bhi - blo + pixel_offset)
@@ -55,13 +59,22 @@ def _nms_kernel_factory(dim: int, max_output: int, n: int, pixel_offset: float):
             union = area_b + area_all - inter
             iou = jnp.where(union > 0, inter / jnp.where(union > 0, union, 1.0), 0.0)
 
-            kill = (iou > thresh) | (col_ids == best)
+            kill = (iou > thresh) | onehot
             active[:] = jnp.where(best_ok & kill, NEG_INF, active[:])
-            idx_ref[0, i] = jnp.where(best_ok, best.astype(jnp.int32), -1)
-            mask_ref[0, i] = best_ok.astype(jnp.int32)
-            return 0
+            # accumulate results in loop-carried vectors (Mosaic requires
+            # lane-aligned ref stores; a single aligned store happens at the end)
+            slot = out_cols == i
+            idx_acc = jnp.where(slot, jnp.where(best_ok, best, -1), idx_acc)
+            mask_acc = jnp.where(slot, best_ok.astype(jnp.int32), mask_acc)
+            return idx_acc, mask_acc
 
-        jax.lax.fori_loop(0, max_output, body, 0)
+        init = (
+            jnp.full((1, max_output), -1, jnp.int32),
+            jnp.zeros((1, max_output), jnp.int32),
+        )
+        idx_acc, mask_acc = jax.lax.fori_loop(0, max_output, body, init)
+        idx_ref[0] = idx_acc
+        mask_ref[0] = mask_acc
 
     return kernel
 
@@ -85,7 +98,7 @@ def nms_pallas(boxes, scores, iou_threshold, max_output: int, valid=None, pixel_
     scores_f = scores.astype(jnp.float32)
     if valid is not None:
         scores_f = jnp.where(valid, scores_f, NEG_INF)
-    scores_f = jnp.pad(scores_f, ((0, 0), (0, n_pad)), constant_values=NEG_INF)
+    scores_f = jnp.pad(scores_f, ((0, 0), (0, n_pad)), constant_values=NEG_INF)[:, None]  # (L, 1, n)
     coords = jnp.moveaxis(boxes.astype(jnp.float32), -1, 1)  # (L, 2d, N)
     coords = jnp.pad(coords, ((0, 0), (0, 0), (0, n_pad)))
 
@@ -97,19 +110,19 @@ def nms_pallas(boxes, scores, iou_threshold, max_output: int, valid=None, pixel_
         grid=(L,),
         in_specs=[
             pl.BlockSpec((1, 2 * dim, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, max_output), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, max_output), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, max_output), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, max_output), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((L, max_output), jnp.int32),
-            jax.ShapeDtypeStruct((L, max_output), jnp.int32),
+            jax.ShapeDtypeStruct((L, 1, max_output), jnp.int32),
+            jax.ShapeDtypeStruct((L, 1, max_output), jnp.int32),
         ],
         scratch_shapes=[pltpu.VMEM((1, n), jnp.float32)],
         interpret=interpret,
     )(coords, scores_f, thresh)
 
-    return idx, mask.astype(bool)
+    return idx[:, 0], mask[:, 0].astype(bool)
