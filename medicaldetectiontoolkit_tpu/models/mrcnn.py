@@ -247,7 +247,13 @@ def proposal_layer(rpn_probs_fg, rpn_deltas, anchors, cf, proposal_count: int):
     Returns (normalized boxes (b, P, 2d), out_proposals (b, P, 2d+1) with fg
     scores for monitoring, valid (b, P)). Padded slots are zero boxes, like
     the reference's zero padding (``models/mrcnn.py:352-358``).
+
+    Proposals are non-differentiable by construction (the reference detaches
+    them before RoIAlign, ``models/mrcnn.py:424``); stop_gradient here also
+    keeps autodiff away from the Pallas NMS kernel, which has no JVP rule.
     """
+    rpn_probs_fg = jax.lax.stop_gradient(rpn_probs_fg)
+    rpn_deltas = jax.lax.stop_gradient(rpn_deltas)
     dim = cf.dim
     std = jnp.asarray(cf.rpn_bbox_std_dev, jnp.float32)
     window = jnp.asarray(cf.window, jnp.float32)
