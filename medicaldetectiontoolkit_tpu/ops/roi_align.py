@@ -78,16 +78,17 @@ def roi_align(image, boxes, box_indices, crop_size):
 def _roi_align_2d(image, boxes, box_indices, crop_size):
     _, H, W, _ = image.shape
     ch, cw = crop_size
-    per_box = image[box_indices]  # (N, H, W, C) batch gather
 
     y0, y1i, ly = _lerp_weights(_axis_coords(boxes[:, 0], boxes[:, 2], ch, H), H)
     x0, x1i, lx = _lerp_weights(_axis_coords(boxes[:, 1], boxes[:, 3], cw, W), W)
 
-    n_ix = jnp.arange(boxes.shape[0])[:, None]
-    # interpolate along y first: (N, ch, W, C)
-    rows = per_box[n_ix, y0] * (1 - ly[..., None, None]) + per_box[n_ix, y1i] * ly[..., None, None]
+    # gather only the needed rows, batch index fused into the gather —
+    # NEVER materialize image[box_indices] (that is a full per-roi copy of
+    # the feature map: N x H x W x C)
+    b_ix = box_indices[:, None]  # (N, 1)
+    rows = image[b_ix, y0] * (1 - ly[..., None, None]) + image[b_ix, y1i] * ly[..., None, None]  # (N, ch, W, C)
     # then along x: (N, ch, cw, C)
-    n_ix2 = n_ix[..., None]
+    n_ix2 = jnp.arange(boxes.shape[0])[:, None, None]
     cols0 = rows[n_ix2, jnp.arange(ch)[None, :, None], x0[:, None, :]]
     cols1 = rows[n_ix2, jnp.arange(ch)[None, :, None], x1i[:, None, :]]
     lx_b = lx[:, None, :, None]
@@ -97,17 +98,16 @@ def _roi_align_2d(image, boxes, box_indices, crop_size):
 def _roi_align_3d(image, boxes, box_indices, crop_size):
     _, H, W, Z, _ = image.shape
     ch, cw, cz = crop_size
-    per_box = image[box_indices]  # (N, H, W, Z, C)
 
     y0, y1i, ly = _lerp_weights(_axis_coords(boxes[:, 0], boxes[:, 2], ch, H), H)
     x0, x1i, lx = _lerp_weights(_axis_coords(boxes[:, 1], boxes[:, 3], cw, W), W)
     z0, z1i, lz = _lerp_weights(_axis_coords(boxes[:, 4], boxes[:, 5], cz, Z), Z)
 
     n = boxes.shape[0]
-    n_ix = jnp.arange(n)[:, None]
-    # y: (N, ch, W, Z, C)
+    # y: (N, ch, W, Z, C) — batch index fused into the row gather (see 2D)
+    b_ix = box_indices[:, None]
     w_y = ly[..., None, None, None]
-    rows = per_box[n_ix, y0] * (1 - w_y) + per_box[n_ix, y1i] * w_y
+    rows = image[b_ix, y0] * (1 - w_y) + image[b_ix, y1i] * w_y
     # x: (N, ch, cw, Z, C)
     n_ix2 = jnp.arange(n)[:, None, None]
     h_ix = jnp.arange(ch)[None, :, None]
