@@ -20,7 +20,7 @@ and a configurable compute dtype (bfloat16-ready).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import flax.linen as nn
 import jax
