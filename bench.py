@@ -37,17 +37,25 @@ def main():
     lane-padding of small channel counts, so the bench reports throughput at
     the largest batch that fits (patches/sec normalizes across batch sizes).
     """
-    last_err = None
+    import gc
+
+    last_msg = None
     for bs in [int(b) for b in os.environ.get("MDT_BENCH_BATCH", "8,4,2").split(",")]:
         try:
             return _run(bs)
         except Exception as e:  # noqa: BLE001
-            if "RESOURCE_EXHAUSTED" in str(e) or "Resource" in type(e).__name__:
+            msg = str(e)
+            if "RESOURCE_EXHAUSTED" in msg or "Resource" in type(e).__name__:
                 print(f"# batch {bs} exhausted HBM, retrying smaller", file=sys.stderr)
-                last_err = e
+                last_msg = msg
+                # drop the exception + traceback: they pin the failed
+                # attempt's device buffers (params/opt/inputs) alive, which
+                # would OOM every smaller retry too
+                del e
+                gc.collect()
                 continue
             raise
-    raise last_err
+    raise RuntimeError(last_msg)
 
 
 def _run(batch_size):
