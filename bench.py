@@ -36,26 +36,35 @@ def main():
     v5e (16 GB) the bf16+remat configuration may still exceed HBM due to
     lane-padding of small channel counts, so the bench reports throughput at
     the largest batch that fits (patches/sec normalizes across batch sizes).
-    """
-    import gc
 
-    last_msg = None
-    for bs in [int(b) for b in os.environ.get("MDT_BENCH_BATCH", "8,4,2").split(",")]:
-        try:
-            return _run(bs)
-        except Exception as e:  # noqa: BLE001
-            msg = str(e)
-            if "RESOURCE_EXHAUSTED" in msg or "Resource" in type(e).__name__:
-                print(f"# batch {bs} exhausted HBM, retrying smaller", file=sys.stderr)
-                last_msg = msg
-                # drop the exception + traceback: they pin the failed
-                # attempt's device buffers (params/opt/inputs) alive, which
-                # would OOM every smaller retry too
-                del e
-                gc.collect()
-                continue
-            raise
-    raise RuntimeError(last_msg)
+    Each attempt runs in a SUBPROCESS: the TPU runtime does not reliably
+    reclaim HBM after an in-process ResourceExhausted, so retries must start
+    from a clean device state.
+    """
+    batches = os.environ.get("MDT_BENCH_BATCH", "8,4,2").split(",")
+    if len(batches) == 1:
+        return _run(int(batches[0]))
+
+    import subprocess
+
+    last = ""
+    for bs in batches:
+        env = dict(os.environ)
+        env["MDT_BENCH_BATCH"] = bs
+        res = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            capture_output=True,
+            text=True,
+            env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        last = (res.stdout + res.stderr).strip()
+        line = next((ln for ln in res.stdout.splitlines() if ln.startswith("{")), None)
+        if res.returncode == 0 and line and "bench_error" not in line:
+            print(line)
+            return
+        print(f"# batch {bs} attempt failed, retrying smaller", file=sys.stderr)
+    raise RuntimeError(last[-500:])
 
 
 def _run(batch_size):
