@@ -114,10 +114,11 @@ def test_train_batches_and_patched_patient_prediction(synth_lidc, tmp_path, dim)
     types = {b["box_type"] for bl in results["boxes"] for b in bl}
     assert "gt" in types
     # all det boxes must have consolidated (WBC) structure
+    want_coords = 6 if (cf.merge_2D_to_3D_preds or dim == 3) else 4
     for bl in results["boxes"]:
         for b in bl:
             if b["box_type"] == "det":
-                assert len(b["box_coords"]) == 6 if cf.merge_2D_to_3D_preds or dim == 3 else 4
+                assert len(b["box_coords"]) == want_coords
 
     # evaluation over the patient works end to end
     ev = Evaluator(cf, _Log(), mode="val_patient")
