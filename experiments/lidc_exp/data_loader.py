@@ -88,9 +88,41 @@ def get_test_generator(cf, logger):
     }
 
 
+def copy_and_unpack_data(logger, pids, source_dir, target_dir):
+    """Cluster staging: copy the listed patients' npz archives to the local
+    working dir and unpack to npy (reference data_loader.py:446-460; shutil
+    instead of rsync — same result on a shared filesystem)."""
+    import shutil
+    import time
+
+    start_time = time.time()
+    os.makedirs(target_dir, exist_ok=True)
+    for pid in pids:
+        for suffix in ("_img", "_rois"):
+            for ext in (".npz", ".npy"):
+                src = os.path.join(source_dir, f"{pid}{suffix}{ext}")
+                if os.path.isfile(src) and not os.path.isfile(os.path.join(target_dir, os.path.basename(src))):
+                    shutil.copy(src, target_dir)
+    dutils.unpack_dataset(target_dir, threads=16)
+    logger.info(
+        f"copying and unpacking data set finished: {len(os.listdir(target_dir))} files in {target_dir}. "
+        f"took {time.time() - start_time:.0f} sec"
+    )
+
+
 def load_dataset(cf, logger, subset_ixs=None, pp_data_path=None):
     if pp_data_path is None:
         pp_data_path = cf.pp_data_path
+    if getattr(cf, "server_env", False) and getattr(cf, "data_dest", None):
+        target_dir = os.path.join(cf.data_dest, cf.pp_name)
+        if not os.path.isdir(target_dir) or not os.listdir(target_dir):
+            os.makedirs(target_dir, exist_ok=True)
+            import shutil
+
+            shutil.copy(os.path.join(pp_data_path, cf.input_df_name), target_dir)
+            df_tmp = pd.read_pickle(os.path.join(target_dir, cf.input_df_name))
+            copy_and_unpack_data(logger, df_tmp.pid.tolist(), pp_data_path, target_dir)
+        pp_data_path = target_dir
     p_df = pd.read_pickle(os.path.join(pp_data_path, cf.input_df_name))
 
     if cf.select_prototype_subset is not None:
