@@ -384,8 +384,17 @@ class RetinaNetDetector(base.Detector):
             "loss": monitor["loss"],
             "torch_loss": monitor["loss"],  # legacy key some callers expect
             "monitor_values": {"loss": monitor["loss"], "class_loss": monitor["class_loss"]},
-            "logger_string": "loss: {0:.2f}, class: {1:.2f}, bbox: {2:.2f}".format(
-                monitor["loss"], monitor["class_loss"], monitor["bbox_loss"]
+            "logger_string": (
+                "loss: {0:.2f}, class: {1:.2f}, bbox: {2:.2f}".format(
+                    monitor["loss"], monitor["class_loss"], monitor["bbox_loss"]
+                )
+                + (
+                    ", seg dice: {0:.3f}, seg ce: {1:.3f}".format(
+                        monitor["seg_dice_loss"], monitor["seg_ce_loss"]
+                    )
+                    if "seg_dice_loss" in monitor
+                    else ""
+                )
             ),
         }
         return results
