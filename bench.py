@@ -132,18 +132,36 @@ def _run(batch_size):
         params, opt_state = out[0], out[1]
     jax.block_until_ready(out[2]["loss"])
     dt = time.perf_counter() - t0
-
     patches_per_sec = n_steps * batch_size / dt
-    print(
-        json.dumps(
-            {
-                "metric": "lidc3d_retina_unet_train_patches_per_sec_per_chip",
-                "value": round(patches_per_sec, 3),
-                "unit": "patches/s",
-                "vs_baseline": round(patches_per_sec / REF_V100_PATCHES_PER_SEC, 3),
-            }
-        )
-    )
+
+    result = {
+        "metric": "lidc3d_retina_unet_train_patches_per_sec_per_chip",
+        "value": round(patches_per_sec, 3),
+        "unit": "patches/s",
+        "vs_baseline": round(patches_per_sec / REF_V100_PATCHES_PER_SEC, 3),
+    }
+
+    if os.environ.get("MDT_BENCH_MODE") == "infer":
+        # inference path: forward + detection refinement (no grads/update)
+        def infer():
+            heads = net._predict_fn(params, img)
+            return net._detect_fn(*heads)
+
+        out_i = infer()
+        jax.block_until_ready(out_i[0])
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            out_i = infer()
+        jax.block_until_ready(out_i[0])
+        dt_i = time.perf_counter() - t0
+        result = {
+            "metric": "lidc3d_retina_unet_infer_patches_per_sec_per_chip",
+            "value": round(n_steps * batch_size / dt_i, 3),
+            "unit": "patches/s",
+            "vs_baseline": round(n_steps * batch_size / dt_i / REF_V100_PATCHES_PER_SEC, 3),
+        }
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
