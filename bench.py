@@ -41,7 +41,7 @@ def main():
     reclaim HBM after an in-process ResourceExhausted, so retries must start
     from a clean device state.
     """
-    batches = os.environ.get("MDT_BENCH_BATCH", "8,4,2").split(",")
+    batches = os.environ.get("MDT_BENCH_BATCH", "8,6,4,2").split(",")
     if len(batches) == 1:
         return _run(int(batches[0]))
 
