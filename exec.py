@@ -31,6 +31,8 @@ def train(cf, data_loader, logger):
 
     net = build_model(cf, logger)
     net.initialize()
+    if getattr(cf, "n_data_parallel", None) and cf.n_data_parallel > 1:
+        net.enable_data_parallel()
     model_selector = utils.ModelSelector(cf, logger)
     train_evaluator = Evaluator(cf, logger, mode="train")
     val_evaluator = Evaluator(cf, logger, mode=cf.val_mode)

@@ -190,6 +190,24 @@ def make_optimizer(cf):
 class Detector:
     """Base class: owns (cf, logger, params, opt_state) + jitted step fns."""
 
+    # arity of _train_step's output tuple (subclasses override if different)
+    train_step_n_outputs = 5
+
+    def enable_data_parallel(self, n_devices=None):
+        """Re-jit the train step with data-parallel shardings over a device
+        mesh (params replicated, batch sharded; XLA inserts the gradient
+        all-reduce). Batch size must be divisible by the mesh size; host-side
+        numpy batches are sharded automatically at dispatch.
+        """
+        from medicaldetectiontoolkit_tpu.parallel import mesh as pmesh
+
+        n = n_devices or getattr(self.cf, "n_data_parallel", None)
+        self._mesh = pmesh.get_mesh(n)
+        self._train_step_fn = pmesh.make_data_parallel_step(self, self._mesh)
+        if self.logger is not None:
+            self.logger.info(f"data-parallel training over {len(self._mesh.devices.ravel())} devices")
+        return self._mesh
+
     def __init__(self, cf, logger):
         self.cf = cf
         self.logger = logger

@@ -453,6 +453,7 @@ class MaskRCNNDetector(base.Detector):
     """Host-facing Mask R-CNN with the reference's train/test_forward API."""
 
     with_mask_head = True
+    train_step_n_outputs = 4
     with_seg_head = False  # ufrcnn overrides
 
     def build(self):

@@ -56,18 +56,22 @@ def shard_batch(mesh: Mesh, *arrays, axis_name: str = DATA_AXIS):
 def make_data_parallel_step(detector, mesh: Mesh, axis_name: str = DATA_AXIS):
     """jit the detector's pure train step with data-parallel shardings.
 
-    Signature matches Detector._train_step:
-      (params, opt_state, rng, lr, img, gt_boxes, gt_ids, gt_valid, seg) ->
-      (params, opt_state, monitor, heads, anchor_info)
-
-    params/opt_state/rng/lr/monitor replicated; all batch-leading tensors
-    sharded on the data axis. Gradient all-reduce is emitted by XLA from the
-    replicated-output constraint on params.
+    Works for every Detector: the step signature is
+      (params, opt_state, rng, lr, *batch_tensors) ->
+      (params, opt_state, monitor, *batch_outputs)
+    — the first 4 inputs / 3 outputs are replicated, everything else is
+    sharded along the leading batch axis (prefix shardings cover nested
+    pytrees like the mrcnn outs dict). Gradient all-reduce is emitted by XLA
+    from the replicated-output constraint on params.
     """
+    import inspect
+
     repl = replicated(mesh)
     data = batch_sharded(mesh, axis_name)
-    in_shardings = (repl, repl, repl, repl, data, data, data, data, data)
-    out_shardings = (repl, repl, repl, data, data)
+    n_args = len(inspect.signature(detector._train_step).parameters)
+    in_shardings = (repl, repl, repl, repl) + (data,) * (n_args - 4)
+    n_outs = getattr(detector, "train_step_n_outputs", 5)
+    out_shardings = (repl, repl, repl) + (data,) * (n_outs - 3)
     return jax.jit(
         detector._train_step,
         in_shardings=in_shardings,
