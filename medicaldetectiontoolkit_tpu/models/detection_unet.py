@@ -106,6 +106,10 @@ def get_coords(binary_mask, n_components, dim):
 
 @register("detection_unet")
 class DetectionUNet(base.Detector):
+    # step signature: (params, opt_state, lr, img, seg) -> (params, opt_state, loss, smax)
+    train_step_n_replicated_in = 3
+    train_step_n_outputs = 4
+
     def build(self):
         cf = self.cf
         self.module = SegUNetModule(

@@ -69,7 +69,8 @@ def make_data_parallel_step(detector, mesh: Mesh, axis_name: str = DATA_AXIS):
     repl = replicated(mesh)
     data = batch_sharded(mesh, axis_name)
     n_args = len(inspect.signature(detector._train_step).parameters)
-    in_shardings = (repl, repl, repl, repl) + (data,) * (n_args - 4)
+    n_lead = getattr(detector, "train_step_n_replicated_in", 4)
+    in_shardings = (repl,) * n_lead + (data,) * (n_args - n_lead)
     n_outs = getattr(detector, "train_step_n_outputs", 5)
     out_shardings = (repl, repl, repl) + (data,) * (n_outs - 3)
     return jax.jit(
