@@ -97,6 +97,11 @@ class DefaultConfigs:
         #########################
         # static padding maximum for GT boxes per batch element (masked)
         self.max_gt_boxes = 32
+        # static padding maximum for GT masks (None = same as max_gt_boxes).
+        # Set lower to bound HBM in full-res 3D: each slot costs |spatial|
+        # bytes per element; positives assigned to a GT past the cap simply
+        # get no mask supervision (they keep class/bbox supervision).
+        self.max_gt_masks = None
         # compute dtype for the conv stack ('float32' | 'bfloat16');
         # losses/box math stay float32
         self.compute_dtype = "float32"

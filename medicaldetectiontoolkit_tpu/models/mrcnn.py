@@ -355,8 +355,10 @@ def detection_target_layer(rng, proposals_norm, prop_valid, class_scores, gt_box
       gt_masks (G, *spatial) float.
 
     Returns fixed-size slots: rois (S, 2d), slot_valid (S,), target_class
-    (S,), target_deltas (S, 2d), target_masks (S, *mask_shape), pos_mask (S,)
-    where S = n_pos_slots + n_neg_slots.
+    (S,), target_deltas (S, 2d), target_masks (S, *mask_shape), pos_mask (S,),
+    mask_pos (S,) where S = n_pos_slots + n_neg_slots. mask_pos is pos_mask
+    restricted to rois whose assigned GT has a mask slot (gt_masks may hold
+    fewer slots than gt_boxes when cf.max_gt_masks caps them for HBM).
     """
     dim = cf.dim
     P = proposals_norm.shape[0]
@@ -393,14 +395,19 @@ def detection_target_layer(rng, proposals_norm, prop_valid, class_scores, gt_box
 
     # mask targets: gather the assigned GT masks FIRST (S_pos small), then
     # RoIAlign to mask_shape — avoids materializing all padded GT masks in
-    # float32 (gt_masks arrive uint8, clipped to a small max_gt_masks cap)
+    # float32 (gt_masks arrive uint8, possibly capped to fewer slots than
+    # gt_boxes via cf.max_gt_masks). Positives matched to a GT beyond the
+    # mask-slot cap get NO mask supervision (mask_pos False) rather than
+    # silently training against another instance's mask.
     n_masks = gt_masks.shape[0]
+    mask_in_range = assignment < n_masks
+    mask_pos_valid = pos_valid & mask_in_range
     mask_assignment = jnp.clip(assignment, 0, n_masks - 1).astype(jnp.int32)
     sel_masks = gt_masks[mask_assignment].astype(jnp.float32)[..., None]  # (S_pos, *sp, 1)
     target_masks = roi_ops.roi_align(
         sel_masks, pos_rois, jnp.arange(pos_rois.shape[0], dtype=jnp.int32), tuple(cf.mask_shape)
     )[..., 0]
-    target_masks = jnp.round(jnp.where(pos_valid.reshape((-1,) + (1,) * dim), target_masks, 0.0))
+    target_masks = jnp.round(jnp.where(mask_pos_valid.reshape((-1,) + (1,) * dim), target_masks, 0.0))
 
     # --- negative sampling via SHEM on predicted fg scores ---
     fg_scores = jnp.max(class_scores[:, 1:], axis=-1)
@@ -416,7 +423,8 @@ def detection_target_layer(rng, proposals_norm, prop_valid, class_scores, gt_box
     pad_masks = jnp.zeros((n_neg_slots,) + tuple(cf.mask_shape), jnp.float32)
     target_masks = jnp.concatenate([target_masks, pad_masks], axis=0)
     pos_mask = jnp.concatenate([pos_valid, jnp.zeros((n_neg_slots,), bool)])
-    return rois, slot_valid, target_class, target_deltas, target_masks, pos_mask
+    mask_pos = jnp.concatenate([mask_pos_valid, jnp.zeros((n_neg_slots,), bool)])
+    return rois, slot_valid, target_class, target_deltas, target_masks, pos_mask, mask_pos
 
 
 def mrcnn_class_loss(target_class, logits, slot_valid):
@@ -584,7 +592,7 @@ class MaskRCNNDetector(base.Detector):
         sample = jax.vmap(
             lambda r, p, pv, sc, gb, gi, gv, gm: detection_target_layer(r, p, pv, sc, gb, gi, gv, gm, cf)
         )(rngs[2], rois_norm, prop_valid, probs_pe, gt_boxes_norm, gt_ids, gt_valid, gt_masks)
-        s_rois, s_valid, s_class, s_deltas, s_masks, s_pos = sample
+        s_rois, s_valid, s_class, s_deltas, s_masks, s_pos, s_mask_pos = sample
 
         S = s_rois.shape[1]
         flat_s_rois = s_rois.reshape(-1, s_rois.shape[-1])
@@ -604,7 +612,8 @@ class MaskRCNNDetector(base.Detector):
                 {"params": params}, maps, flat_s_rois, s_bix, method=self.module.mask_rois
             )
             mask_loss = mrcnn_mask_loss(
-                s_masks.reshape((-1,) + tuple(cf.mask_shape)), s_pred_masks, flat_class, flat_pos
+                s_masks.reshape((-1,) + tuple(cf.mask_shape)), s_pred_masks, flat_class,
+                s_mask_pos.reshape(-1)
             )
 
         loss = rpn_class_loss + rpn_bbox_loss + cls_loss + bbox_loss + mask_loss
@@ -721,9 +730,11 @@ class MaskRCNNDetector(base.Detector):
             batch["bb_target"], batch["roi_labels"], bsz, cf.dim, cf.max_gt_boxes
         )
         spatial = tuple(img.shape[1:-1])
-        # masks stay uint8 and are capped separately from boxes: per element
-        # they cost |spatial| bytes each, which dominates HBM in 3D otherwise
-        max_gt_masks = min(cf.max_gt_boxes, getattr(cf, "max_gt_masks", 8))
+        # masks stay uint8; cf.max_gt_masks (default: every GT box gets a
+        # slot) can cap them below max_gt_boxes for HBM in full-res 3D —
+        # positives assigned past the cap are then excluded from the mask
+        # loss (see detection_target_layer) instead of corrupting targets
+        max_gt_masks = min(cf.max_gt_boxes, getattr(cf, "max_gt_masks", None) or cf.max_gt_boxes)
         gt_masks = np.zeros((bsz, max_gt_masks) + spatial, dtype=np.uint8)
         if "roi_masks" in batch:
             for b in range(bsz):

@@ -50,11 +50,10 @@ class TestPyramidRoiAlign:
 
 
 class TestDetectionTargetLayer:
-    def _run(self, proposals, gt, gt_ids, seed=0, dim=2):
+    def _run(self, proposals, gt, gt_ids, seed=0, dim=2, G=4, n_mask_slots=None, train_rois=4):
         cf = make_config("mrcnn", dim=dim, retina_scales=False)
-        cf.train_rois_per_image = 4
+        cf.train_rois_per_image = train_rois
         P = proposals.shape[0]
-        G = 4
         gt_boxes = np.zeros((G, 2 * dim), np.float32)
         ids = np.zeros((G,), np.int32)
         valid = np.zeros((G,), bool)
@@ -62,8 +61,9 @@ class TestDetectionTargetLayer:
         ids[: len(gt)] = gt_ids
         valid[: len(gt)] = True
         spatial = (32, 32) if dim == 2 else (32, 32, 8)
-        gt_masks = np.zeros((G, *spatial), np.float32)
-        for i, g in enumerate(gt):
+        n_mask_slots = G if n_mask_slots is None else n_mask_slots
+        gt_masks = np.zeros((n_mask_slots, *spatial), np.float32)
+        for i, g in enumerate(gt[:n_mask_slots]):
             sl = tuple(slice(int(g[k] * spatial[k // 2]), int(g[k + 2] * spatial[k // 2])) for k in (0, 1))
             gt_masks[(i, *sl)] = 1.0
         scores = np.random.RandomState(seed).rand(P, cf.head_classes).astype(np.float32)
@@ -85,7 +85,7 @@ class TestDetectionTargetLayer:
             [[0.1, 0.1, 0.3, 0.3], [0.11, 0.11, 0.3, 0.3], [0.7, 0.7, 0.9, 0.9], [0.5, 0.1, 0.6, 0.2]], np.float32
         )
         gt = np.array([[0.1, 0.1, 0.3, 0.3]], np.float32)
-        (rois, valid, tclass, tdeltas, tmasks, pos), cf = self._run(proposals, gt, [2])
+        (rois, valid, tclass, tdeltas, tmasks, pos, mask_pos), cf = self._run(proposals, gt, [2])
         assert pos.sum() >= 1
         assert (tclass[pos] == 2).all()
         # positive deltas near zero for the perfectly matching proposal
@@ -94,10 +94,45 @@ class TestDetectionTargetLayer:
 
     def test_no_gt_all_negative(self):
         proposals = np.array([[0.1, 0.1, 0.3, 0.3], [0.5, 0.5, 0.8, 0.8]], np.float32)
-        (rois, valid, tclass, tdeltas, tmasks, pos), cf = self._run(proposals, np.zeros((0, 4), np.float32), [])
+        (rois, valid, tclass, tdeltas, tmasks, pos, mask_pos), cf = self._run(
+            proposals, np.zeros((0, 4), np.float32), []
+        )
         assert pos.sum() == 0
         assert (tclass == 0).all()
         assert valid.sum() >= 1  # at least one negative sampled
+
+    def test_twelve_gt_instances_mask_targets_per_instance(self):
+        """Regression: with more GTs than mask slots, every supervised mask
+        target must belong to the RoI's own assigned instance; positives
+        assigned past the mask-slot cap get mask_pos=False (no corruption)."""
+        # 12 disjoint GT boxes on a 4x3 grid of the unit square
+        gt = np.array(
+            [
+                [r * 0.25 + 0.02, c * 0.33 + 0.02, r * 0.25 + 0.20, c * 0.33 + 0.28]
+                for r in range(4)
+                for c in range(3)
+            ],
+            np.float32,
+        )
+        proposals = gt.copy()  # exact matches -> 12 positives, assignment i -> GT i
+        out, cf = self._run(
+            proposals, gt, [1] * 12, G=12, n_mask_slots=8, train_rois=24
+        )
+        rois, valid, tclass, tdeltas, tmasks, pos, mask_pos = out
+        n_pos = int(pos.sum())
+        assert n_pos == 12  # all 12 exact-match proposals sampled as positives
+        # recover each positive's assigned instance from its roi coords
+        for s in np.flatnonzero(pos):
+            a = int(np.argmin(np.abs(gt - rois[s]).sum(axis=1)))
+            if a < 8:
+                assert mask_pos[s], f"slot {s} (gt {a}) should keep mask supervision"
+                # the instance's own mask fills its box -> aligned target ~all ones
+                assert tmasks[s].mean() > 0.6, f"slot {s} target does not match gt {a}'s mask"
+            else:
+                assert not mask_pos[s], f"slot {s} (gt {a} past cap) must be excluded"
+                assert tmasks[s].sum() == 0.0
+        # pos/class/bbox supervision is NOT affected by the mask cap
+        assert (tclass[pos.astype(bool)] == 1).all()
 
 
 class TestRefineDetections:
