@@ -82,9 +82,11 @@ def get_test_generator(cf, logger):
 
     test_data = load_dataset(cf, logger, test_ix, pp_data_path=pp_data_path)
     logger.info(f"data set loaded with: {len(test_data)} test patients")
+    it = PatientBatchIterator(test_data, cf=cf)
+    n_local = len(it.dataset_pids)  # this host's shard (== all patients on 1 host)
     return {
-        "test": PatientBatchIterator(test_data, cf=cf),
-        "n_test": len(test_data) if cf.max_test_patients == "all" else min(cf.max_test_patients, len(test_data)),
+        "test": it,
+        "n_test": n_local if cf.max_test_patients == "all" else min(cf.max_test_patients, n_local),
     }
 
 
@@ -181,255 +183,268 @@ def create_data_gen_pipeline(patient_data, cf, is_training=True):
         )
 
     transforms.append(convert_t)
-    return MultiThreadedGenerator(data_gen, transforms, n_workers=cf.n_workers, seeds=range(cf.n_workers))
+    # multi-host: offset worker seeds by process rank so each host samples
+    # distinct batches (degenerate no-op on one host)
+    from medicaldetectiontoolkit_tpu.parallel import host_shard_info
+
+    rank, _ = host_shard_info(cf)
+    seeds = [rank * cf.n_workers + w for w in range(cf.n_workers)]
+    return MultiThreadedGenerator(data_gen, transforms, n_workers=cf.n_workers, seeds=seeds)
 
 
 class BatchGenerator(BatchGeneratorBase):
     """Samples patients (class-balanced), fg-biased slices/crops to
-    pre_crop_size; augmentation produces the final patch_size."""
+    pre_crop_size; augmentation produces the final patch_size.
+
+    Sampling contract (reference ``data_loader.py:119-244``): patients are
+    drawn class-balanced when more than one fg class exists; in 2D a slice is
+    drawn with total probability p_fg=0.5 on the patient's fg slices; crops
+    to pre_crop_size are centered near a random fg pixel with probability
+    p_fg, constrained so the ROI stays >= patch_size/8 from the final patch
+    border, and uniformly otherwise.
+    """
 
     def __init__(self, data, batch_size, cf):
         super().__init__(data, batch_size, cf)
         self.crop_margin = np.array(cf.patch_size) / 8.0  # min distance of ROI center to patch edge
         self.p_fg = 0.5
 
+    def _sample_patient_ixs(self, rng):
+        targets_per_patient = [v["class_target"] for v in self._data.values()]
+        if self.cf.head_classes > 2:
+            return dutils.get_class_balanced_patients(
+                targets_per_patient, self.batch_size, self.cf.head_classes - 1,
+                slack_factor=self.cf.batch_sample_slack, rng=rng,
+            )
+        return rng.choice(len(targets_per_patient), self.batch_size)
+
+    def _choose_slice(self, n_z, fg_slices, rng):
+        """Slice id with total probability p_fg on the fg slices."""
+        fg = [s for s in fg_slices if 0 <= s < n_z]
+        if fg and rng.rand() < self.p_fg:
+            return int(rng.choice(fg))
+        bg = np.setdiff1d(np.arange(n_z), fg)
+        return int(rng.choice(bg if bg.size else n_z))
+
+    @staticmethod
+    def _z_context_window(volume, slice_id, n_ctx):
+        """(1, y, x, z) -> (2*n_ctx+1, y, x): the slice and its z neighbors
+        stacked into channels (zero-padded at the volume ends)."""
+        padded = np.pad(volume[0], ((0, 0), (0, 0), (n_ctx, n_ctx)), "constant")
+        return np.moveaxis(padded[..., slice_id : slice_id + 2 * n_ctx + 1], -1, 0)
+
+    def _fg_anchor_center(self, data, seg, d, anchor, rng):
+        """Crop-center range along axis d keeping the anchor pixel at least
+        crop_margin away from the eventual patch border; uniform inside."""
+        half = self.cf.pre_crop_size[d] // 2
+        reach = self.cf.patch_size[d] // 2 - self.crop_margin[d]
+        low = max(half, anchor[d] - reach)
+        high = min(data.shape[d + 1] - half, anchor[d] + reach)
+        if low >= high:  # lesion at the image edge: just keep the crop inside
+            low, high = half, data.shape[d + 1] - half
+        return rng.randint(int(low), int(high))
+
+    def _pre_crop(self, data, seg, rng):
+        """Pad up to, then crop down to pre_crop_size (fg-biased center)."""
+        cf = self.cf
+        if any(data.shape[d + 1] < ps for d, ps in enumerate(cf.pre_crop_size)):
+            grown = [max(data.shape[d + 1], ps) for d, ps in enumerate(cf.pre_crop_size)]
+            data = dutils.pad_nd_image(data, grown, mode="constant")
+            seg = dutils.pad_nd_image(seg, grown, mode="constant")
+
+        crop_dims = [d for d, ps in enumerate(cf.pre_crop_size) if data.shape[d + 1] > ps]
+        if not crop_dims:
+            return data, seg
+
+        if rng.rand(1) < self.p_fg and seg.sum() > 0:
+            instance = rng.choice(np.unique(seg)[1:], 1)
+            fg_pixels = np.argwhere(seg == instance)
+            anchor = fg_pixels[rng.choice(fg_pixels.shape[0], 1)][0]
+            centers = {d: self._fg_anchor_center(data, seg, d, anchor, rng) for d in crop_dims}
+        else:
+            centers = {
+                d: rng.randint(cf.pre_crop_size[d] // 2, data.shape[d + 1] - cf.pre_crop_size[d] // 2)
+                for d in crop_dims
+            }
+        for d in crop_dims:
+            lo = int(centers[d] - cf.pre_crop_size[d] // 2)
+            hi = int(centers[d] + cf.pre_crop_size[d] // 2)
+            data = data[(slice(None),) * (d + 1) + (slice(lo, hi),)]
+            seg = seg[(slice(None),) * d + (slice(lo, hi),)]
+        return data, seg
+
     def generate_train_batch(self, rng):
         cf = self.cf
+        patients = list(self._data.values())
         batch_data, batch_segs, batch_pids, batch_targets = [], [], [], []
-        class_targets_list = [v["class_target"] for (k, v) in self._data.items()]
-
-        if cf.head_classes > 2:
-            batch_ixs = dutils.get_class_balanced_patients(
-                class_targets_list, self.batch_size, cf.head_classes - 1, slack_factor=cf.batch_sample_slack, rng=rng
-            )
-        else:
-            batch_ixs = rng.choice(len(class_targets_list), self.batch_size)
-
-        patients = list(self._data.items())
-        for b in batch_ixs:
-            patient = patients[b][1]
-            data = np.transpose(np.load(patient["data"], mmap_mode="r"), axes=(1, 2, 0))[np.newaxis]  # (c, y, x, z)
+        for ix in self._sample_patient_ixs(rng):
+            patient = patients[ix]
+            # stored (z, y, x) -> channel-first (c, y, x, z)
+            data = np.transpose(np.load(patient["data"], mmap_mode="r"), axes=(1, 2, 0))[np.newaxis]
             seg = np.transpose(np.load(patient["seg"], mmap_mode="r"), axes=(1, 2, 0))
-            batch_pids.append(patient["pid"])
-            batch_targets.append(patient["class_target"])
 
             if cf.dim == 2:
-                # fg-oversampled slice selection
-                if len(patient["fg_slices"]) > 0:
-                    fg_prob = self.p_fg / len(patient["fg_slices"])
-                    bg_prob = (1 - self.p_fg) / max(data.shape[3] - len(patient["fg_slices"]), 1)
-                    slices_prob = np.array(
-                        [fg_prob if ix in patient["fg_slices"] else bg_prob for ix in range(data.shape[3])]
-                    )
-                    slices_prob /= slices_prob.sum()
-                    slice_id = rng.choice(data.shape[3], p=slices_prob)
-                else:
-                    slice_id = rng.choice(data.shape[3])
-
+                slice_id = self._choose_slice(data.shape[3], patient["fg_slices"], rng)
                 if cf.n_3D_context is not None:
-                    padded_data = dutils.pad_nd_image(
-                        data[0], [data.shape[-1] + cf.n_3D_context * 2], mode="constant"
-                    )
-                    padded_slice_id = slice_id + cf.n_3D_context
-                    data = np.concatenate(
-                        [
-                            padded_data[..., ii][np.newaxis]
-                            for ii in range(padded_slice_id - cf.n_3D_context, padded_slice_id + cf.n_3D_context + 1)
-                        ],
-                        axis=0,
-                    )
+                    data = self._z_context_window(data, slice_id, cf.n_3D_context)
                 else:
                     data = data[..., slice_id]
                 seg = seg[..., slice_id]
 
-            # pad up to pre_crop_size
-            if np.any([data.shape[d + 1] < ps for d, ps in enumerate(cf.pre_crop_size)]):
-                new_shape = [np.max([data.shape[d + 1], ps]) for d, ps in enumerate(cf.pre_crop_size)]
-                data = dutils.pad_nd_image(data, new_shape, mode="constant")
-                seg = dutils.pad_nd_image(seg, new_shape, mode="constant")
-
-            # fg-biased pre-crop
-            crop_dims = [d for d, ps in enumerate(cf.pre_crop_size) if data.shape[d + 1] > ps]
-            if len(crop_dims) > 0:
-                fg_prob_sample = rng.rand(1)
-                if fg_prob_sample < self.p_fg and np.sum(seg) > 0:
-                    seg_ixs = np.argwhere(seg == rng.choice(np.unique(seg)[1:], 1))
-                    roi_anchor_pixel = seg_ixs[rng.choice(seg_ixs.shape[0], 1)][0]
-                    sample_seg_center = {}
-                    for ii in crop_dims:
-                        low = np.max(
-                            (cf.pre_crop_size[ii] // 2, roi_anchor_pixel[ii] - (cf.patch_size[ii] // 2 - self.crop_margin[ii]))
-                        )
-                        high = np.min(
-                            (
-                                data.shape[ii + 1] - cf.pre_crop_size[ii] // 2,
-                                roi_anchor_pixel[ii] + (cf.patch_size[ii] // 2 - self.crop_margin[ii]),
-                            )
-                        )
-                        if low >= high:  # lesion at image edge: just keep crop inside image
-                            low = data.shape[ii + 1] // 2 - (data.shape[ii + 1] // 2 - cf.pre_crop_size[ii] // 2)
-                            high = data.shape[ii + 1] // 2 + (data.shape[ii + 1] // 2 - cf.pre_crop_size[ii] // 2)
-                        sample_seg_center[ii] = rng.randint(low=int(low), high=int(high))
-                else:
-                    sample_seg_center = {
-                        ii: rng.randint(low=cf.pre_crop_size[ii] // 2, high=data.shape[ii + 1] - cf.pre_crop_size[ii] // 2)
-                        for ii in crop_dims
-                    }
-                for ii in crop_dims:
-                    min_crop = int(sample_seg_center[ii] - cf.pre_crop_size[ii] // 2)
-                    max_crop = int(sample_seg_center[ii] + cf.pre_crop_size[ii] // 2)
-                    data = np.take(data, indices=range(min_crop, max_crop), axis=ii + 1)
-                    seg = np.take(seg, indices=range(min_crop, max_crop), axis=ii)
-
+            data, seg = self._pre_crop(data, seg, rng)
             batch_data.append(data)
             batch_segs.append(seg[np.newaxis])
+            batch_pids.append(patient["pid"])
+            batch_targets.append(patient["class_target"])
 
+        ragged = len({len(t) for t in batch_targets}) > 1
         return {
             "data": np.array(batch_data).astype(np.float32),
             "seg": np.array(batch_segs).astype(np.uint8),
             "pid": batch_pids,
-            "class_target": np.array(batch_targets, dtype=object)
-            if len({len(t) for t in batch_targets}) > 1
-            else np.array(batch_targets),
+            "class_target": np.array(batch_targets, dtype=object) if ragged else np.array(batch_targets),
         }
 
 
 class PatientBatchIterator:
-    """Whole-patient iteration with patch-grid decomposition (test/val)."""
+    """Whole-patient iteration with patch-grid decomposition (test/val).
+
+    Batch contract (reference ``data_loader.py:253-436``): yields one patient
+    per step as channel-first arrays padded to patch size, with
+    patient_bb_target / patient_roi_labels / original_img_shape describing
+    the WHOLE patient (3D GT even for 2D models when merge_2D_to_3D_preds);
+    oversized patients additionally carry patch_crop_coords and stack their
+    overlapping patches (z-slices in 2D mode) along the batch axis.
+    """
 
     def __init__(self, data, cf):
+        from medicaldetectiontoolkit_tpu.parallel import host_shard_info
+
         self._data = data
         self.cf = cf
         self.patient_ix = 0
-        self.dataset_pids = [v["pid"] for (k, v) in data.items()]
-        self.patch_size = list(cf.patch_size)
-        if len(self.patch_size) == 2:
-            self.patch_size = self.patch_size + [1]
+        # multi-host: each process iterates its own patient slice (no-op on 1 host)
+        rank, world = host_shard_info(cf)
+        self.dataset_pids = [v["pid"] for v in data.values()][rank::world]
+        # patch grid is always computed in 3D; 2D mode tiles z slice-wise
+        self.patch_size = list(cf.patch_size) + ([1] if len(cf.patch_size) == 2 else [])
 
     def __iter__(self):
         return self
+
+    def _load_padded(self, patient):
+        """(c, y, x, z) float data + (y, x, z) uint8 seg, padded to patch size."""
+        data = np.transpose(np.load(patient["data"], mmap_mode="r"), axes=(1, 2, 0))[np.newaxis].astype(np.float32)
+        seg = np.transpose(np.load(patient["seg"], mmap_mode="r"), axes=(1, 2, 0)).astype("uint8")
+        if any(data.shape[d + 1] < ps for d, ps in enumerate(self.patch_size)):
+            grown = [max(data.shape[d + 1], self.patch_size[d]) for d in range(3)]
+            data = dutils.pad_nd_image(data, [data.shape[0]] + grown)
+            seg = dutils.pad_nd_image(seg, grown)
+        return data, seg
+
+    def _whole_patient_3d(self, data, seg, targets, pid):
+        batch = {
+            "data": data[np.newaxis],
+            "seg": seg[np.newaxis, np.newaxis],
+            "class_target": targets,
+            "pid": pid,
+        }
+        batch = convert_seg_to_bounding_box_coordinates(
+            batch, dim=3, class_specific_seg_flag=self.cf.class_specific_seg_flag
+        )
+        batch["patient_bb_target"] = batch["bb_target"]
+        batch["patient_roi_labels"] = batch["roi_labels"]
+        batch["original_img_shape"] = batch["data"].shape
+        return batch
+
+    def _slices_with_context(self, slice_major):
+        """(z, c, y, x) -> each slice concatenated with its n_3D_context
+        neighbors along channels (zero-padded at the ends)."""
+        ctx = self.cf.n_3D_context
+        padded = np.pad(slice_major, ((ctx, ctx), (0, 0), (0, 0), (0, 0)), "constant")
+        n_z, c = slice_major.shape[:2]
+        return np.array(
+            [padded[z : z + 2 * ctx + 1].reshape((2 * ctx + 1) * c, *slice_major.shape[2:]) for z in range(n_z)]
+        )
+
+    def _whole_patient_2d(self, data, seg, targets, pid, gt_source_3d):
+        out_data = np.transpose(data, axes=(3, 0, 1, 2))  # (z, c, y, x)
+        out_seg = np.transpose(seg, axes=(2, 0, 1))[:, np.newaxis]
+        if self.cf.n_3D_context is not None:
+            out_data = self._slices_with_context(out_data)
+        batch = {
+            "data": out_data,
+            "seg": out_seg,
+            "class_target": np.repeat(targets, out_data.shape[0], axis=0),
+            "pid": pid,
+        }
+        batch = convert_seg_to_bounding_box_coordinates(
+            batch, dim=2, class_specific_seg_flag=self.cf.class_specific_seg_flag
+        )
+        if gt_source_3d is not None:  # merged 2D->3D eval scores against 3D GT
+            batch["patient_bb_target"] = gt_source_3d["patient_bb_target"]
+            batch["patient_roi_labels"] = gt_source_3d["patient_roi_labels"]
+        else:
+            batch["patient_bb_target"] = batch["bb_target"]
+            batch["patient_roi_labels"] = batch["roi_labels"]
+        batch["original_img_shape"] = out_data.shape
+        return batch
+
+    def _patch_batch(self, data, seg, targets, pid, patient_batch):
+        cf = self.cf
+        crops = dutils.get_patch_crop_coords(data[0], self.patch_size)
+        ctx = cf.n_3D_context if (cf.dim == 2 and cf.n_3D_context is not None) else None
+        img_source = (
+            np.pad(data, ((0, 0), (0, 0), (0, 0), (ctx, ctx)), "constant") if ctx is not None else data
+        )
+        z_grow = 2 * ctx if ctx is not None else 0  # crop z coords live in padded space
+        img_patches = np.array([img_source[:, c[0] : c[1], c[2] : c[3], c[4] : c[5] + z_grow] for c in crops])
+        seg_patches = np.array([seg[c[0] : c[1], c[2] : c[3], c[4] : c[5]] for c in crops])[:, np.newaxis]
+
+        if cf.dim == 2:
+            seg_patches = seg_patches[..., 0]
+            if ctx is not None:
+                img_patches = np.transpose(img_patches[:, 0], axes=(0, 3, 1, 2))  # z window -> channels
+            else:
+                img_patches = img_patches[..., 0]
+
+        batch = {
+            "data": img_patches.astype(np.float32),
+            "seg": seg_patches.astype("uint8"),
+            "class_target": np.repeat(targets, len(crops), axis=0),
+            "pid": pid,
+            "patch_crop_coords": np.array(crops),
+            "patient_bb_target": patient_batch["patient_bb_target"],
+            "patient_roi_labels": patient_batch["patient_roi_labels"],
+            "original_img_shape": patient_batch["original_img_shape"],
+        }
+        return convert_seg_to_bounding_box_coordinates(
+            batch, cf.dim, class_specific_seg_flag=cf.class_specific_seg_flag
+        )
 
     def __next__(self):
         cf = self.cf
         pid = self.dataset_pids[self.patient_ix]
         patient = self._data[pid]
-        data = np.transpose(np.load(patient["data"], mmap_mode="r"), axes=(1, 2, 0))[np.newaxis].astype(np.float32)
-        seg = np.transpose(np.load(patient["seg"], mmap_mode="r"), axes=(1, 2, 0)).astype("uint8")
-        batch_class_targets = np.array([patient["class_target"]])
+        data, seg = self._load_padded(patient)
+        targets = np.array([patient["class_target"]])
 
-        if np.any([data.shape[d + 1] < ps for d, ps in enumerate(self.patch_size)]):
-            new_shape = [data.shape[0]] + [np.max([data.shape[d + 1], self.patch_size[d]]) for d in range(3)]
-            data = dutils.pad_nd_image(data, new_shape)
-            seg = dutils.pad_nd_image(seg, new_shape[1:])
-
-        batch_3D = None
-        if cf.dim == 3 or cf.merge_2D_to_3D_preds:
-            batch_3D = {
-                "data": data[np.newaxis],
-                "seg": seg[np.newaxis, np.newaxis],
-                "class_target": batch_class_targets,
-                "pid": pid,
-            }
-            batch_3D = convert_seg_to_bounding_box_coordinates(
-                batch_3D, dim=3, class_specific_seg_flag=cf.class_specific_seg_flag
-            )
-            batch_3D.update(
-                {
-                    "patient_bb_target": batch_3D["bb_target"],
-                    "patient_roi_labels": batch_3D["roi_labels"],
-                    "original_img_shape": batch_3D["data"].shape,
-                }
+        batch_3d = (
+            self._whole_patient_3d(data, seg, targets, pid)
+            if (cf.dim == 3 or cf.merge_2D_to_3D_preds)
+            else None
+        )
+        if cf.dim == 3:
+            out_batch = batch_3d
+        else:
+            out_batch = self._whole_patient_2d(
+                data, seg, targets, pid, batch_3d if cf.merge_2D_to_3D_preds else None
             )
 
-        if cf.dim == 2:
-            out_data = np.transpose(data, axes=(3, 0, 1, 2))  # (z, c, y, x)
-            out_seg = np.transpose(seg, axes=(2, 0, 1))[:, np.newaxis]
-            out_targets = np.array(np.repeat(batch_class_targets, out_data.shape[0], axis=0))
+        if any(data.shape[d + 1] > self.patch_size[d] for d in range(3)):
+            out_batch = self._patch_batch(data, seg, targets, pid, out_batch)
 
-            if cf.n_3D_context is not None:
-                slice_range = range(cf.n_3D_context, out_data.shape[0] + cf.n_3D_context)
-                out_data = np.pad(
-                    out_data, ((cf.n_3D_context, cf.n_3D_context), (0, 0), (0, 0), (0, 0)), "constant"
-                )
-                out_data = np.array(
-                    [
-                        np.concatenate(
-                            [out_data[ii] for ii in range(sid - cf.n_3D_context, sid + cf.n_3D_context + 1)], axis=0
-                        )
-                        for sid in slice_range
-                    ]
-                )
-
-            batch_2D = {"data": out_data, "seg": out_seg, "class_target": out_targets, "pid": pid}
-            batch_2D = convert_seg_to_bounding_box_coordinates(
-                batch_2D, dim=2, class_specific_seg_flag=cf.class_specific_seg_flag
-            )
-            if cf.merge_2D_to_3D_preds:
-                batch_2D.update(
-                    {
-                        "patient_bb_target": batch_3D["patient_bb_target"],
-                        "patient_roi_labels": batch_3D["patient_roi_labels"],
-                        "original_img_shape": out_data.shape,
-                    }
-                )
-            else:
-                batch_2D.update(
-                    {
-                        "patient_bb_target": batch_2D["bb_target"],
-                        "patient_roi_labels": batch_2D["roi_labels"],
-                        "original_img_shape": out_data.shape,
-                    }
-                )
-
-        out_batch = batch_3D if cf.dim == 3 else batch_2D
-        patient_batch = out_batch
-
-        # decompose into overlapping patches stacked along the batch dim
-        if np.any([data.shape[d + 1] > self.patch_size[d] for d in range(3)]):
-            patch_crop_coords_list = dutils.get_patch_crop_coords(data[0], self.patch_size)
-            new_img_batch, new_seg_batch = [], []
-            for cix, c in enumerate(patch_crop_coords_list):
-                seg_patch = seg[c[0] : c[1], c[2] : c[3], c[4] : c[5]]
-                new_seg_batch.append(seg_patch)
-                if cf.dim == 2 and cf.n_3D_context is not None:
-                    tmp_c_5 = c[5] + cf.n_3D_context * 2
-                    if cix == 0:
-                        data = np.pad(
-                            data, ((0, 0), (0, 0), (0, 0), (cf.n_3D_context, cf.n_3D_context)), "constant"
-                        )
-                else:
-                    tmp_c_5 = c[5]
-                new_img_batch.append(data[:, c[0] : c[1], c[2] : c[3], c[4] : tmp_c_5])
-
-            data_patched = np.array(new_img_batch)  # (n_patches, c, y, x, z)
-            seg_patched = np.array(new_seg_batch)[:, np.newaxis]
-            targets_patched = np.repeat(batch_class_targets, len(patch_crop_coords_list), axis=0)
-
-            if cf.dim == 2:
-                if cf.n_3D_context is not None:
-                    data_patched = np.transpose(data_patched[:, 0], axes=(0, 3, 1, 2))
-                else:
-                    data_patched = data_patched[..., 0]
-                seg_patched = seg_patched[..., 0]
-
-            patch_batch = {
-                "data": data_patched.astype(np.float32),
-                "seg": seg_patched.astype("uint8"),
-                "class_target": targets_patched,
-                "pid": pid,
-            }
-            patch_batch["patch_crop_coords"] = np.array(patch_crop_coords_list)
-            patch_batch["patient_bb_target"] = patient_batch["patient_bb_target"]
-            patch_batch["patient_roi_labels"] = patient_batch["patient_roi_labels"]
-            patch_batch["original_img_shape"] = patient_batch["original_img_shape"]
-            patch_batch = convert_seg_to_bounding_box_coordinates(
-                patch_batch, cf.dim, class_specific_seg_flag=cf.class_specific_seg_flag
-            )
-            out_batch = patch_batch
-
-        self.patient_ix += 1
-        if self.patient_ix == len(self.dataset_pids):
-            self.patient_ix = 0
+        self.patient_ix = (self.patient_ix + 1) % len(self.dataset_pids)
         return out_batch
 
     next = __next__

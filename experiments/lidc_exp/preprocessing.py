@@ -56,60 +56,85 @@ def resample_array(src_imgs, src_spacing, target_spacing):
     return ndimage.zoom(img, zoom, order=1, mode="nearest").astype("float32")
 
 
-def pp_patient(inputs, cf):
+def _load_normalized_ct(path, pid, cf):
+    """Read + resample the CT volume; clip HU to [-1200, 600], z-score."""
     sitk = _require_sitk()
-    ix, path = inputs
-    pid = os.path.basename(path.rstrip("/"))
     img = sitk.ReadImage(os.path.join(path, f"{pid}_ct_scan.nrrd"))
-    img_arr = sitk.GetArrayFromImage(img)
-    print(f"processing {pid}", img.GetSpacing(), img_arr.shape)
-    img_arr = resample_array(img_arr, img.GetSpacing(), cf.target_spacing)
-    img_arr = np.clip(img_arr, -1200, 600).astype(np.float32)
-    img_arr = (img_arr - np.mean(img_arr)) / np.std(img_arr)
+    arr = sitk.GetArrayFromImage(img)
+    print(f"processing {pid}", img.GetSpacing(), arr.shape)
+    arr = resample_array(arr, img.GetSpacing(), cf.target_spacing)
+    arr = np.clip(arr, -1200, 600).astype(np.float32)
+    return (arr - arr.mean()) / arr.std(), img.GetSpacing()
 
-    df = pd.read_csv(os.path.join(cf.root_dir, "characteristics.csv"), sep=";")
-    df = df[df.PatientID == pid]
+
+def _fuse_one_nodule(mask_files, char_df, pid, cf, img_shape):
+    """Majority-vote fusion of up to 4 raters' masks for one nodule.
+
+    Returns (fused_bool_mask, malignancy): the vote mean over 4 rater slots
+    (absent raters contribute an empty mask) is thresholded at 0.5; the
+    malignancy label is the mean over the 4 slots excluding 'not rated'
+    (-1) scores — absent raters count as 0, the reference's labeling
+    convention (ref ``preprocessing.py:69-83``).
+    """
+    sitk = _require_sitk()
+    votes = np.zeros(img_shape, dtype=np.float32)
+    rater_labels = []
+    for mf in mask_files:
+        roi = sitk.ReadImage(os.path.join(cf.raw_data_dir, pid, mf))
+        arr = resample_array(sitk.GetArrayFromImage(roi).astype(np.uint8), roi.GetSpacing(), cf.target_spacing)
+        assert arr.shape == img_shape, [arr.shape, img_shape, pid]
+        votes += arr
+        nodule_id = int(mf.split("_")[2].lstrip("0"))
+        rater_labels.append(char_df[char_df.NoduleID == nodule_id].Malignancy.values[0])
+    rater_labels += [0] * (4 - len(rater_labels))
+    fused = (votes / 4.0) >= 0.5
+    malignancy = np.mean([lab for lab in rater_labels if lab > -1])
+    return fused, malignancy
+
+
+def pp_patient(inputs, cf):
+    """One patient: normalized image + instance-labeled fused ROI map + meta.
+
+    Output contract (ref ``preprocessing.py:54-110``): ``{pid}_img.npy``
+    (z, y, x) float32, ``{pid}_rois.npy`` uint8 instance labels 1..n,
+    ``meta_info_{pid}.pickle`` with pid / class_target (mean malignancy per
+    kept nodule) / original spacing / fg_slices. Nodules whose fused mask is
+    empty are suppressed and logged.
+    """
+    _, path = inputs
+    pid = os.path.basename(path.rstrip("/"))
+    img_arr, spacing = _load_normalized_ct(path, pid, cf)
+
+    char_df = pd.read_csv(os.path.join(cf.root_dir, "characteristics.csv"), sep=";")
+    char_df = char_df[char_df.PatientID == pid]
+
+    # group the per-rater mask files by nodule id ({...}_{noduleid}_{roiid}.nii.gz);
+    # sorted for determinism (the reference iterates a set)
+    masks_by_roi = {}
+    for f in os.listdir(path):
+        if ".nii.gz" in f:
+            masks_by_roi.setdefault(f.split(".")[0].split("_")[-1], []).append(f)
 
     final_rois = np.zeros_like(img_arr, dtype=np.uint8)
     mal_labels = []
-    roi_ids = set([ii.split(".")[0].split("_")[-1] for ii in os.listdir(path) if ".nii.gz" in ii])
-
-    rix = 1
-    for rid in roi_ids:
-        roi_id_paths = [ii for ii in os.listdir(path) if f"{rid}.nii" in ii]
-        nodule_ids = [ii.split("_")[2].lstrip("0") for ii in roi_id_paths]
-        rater_labels = [df[df.NoduleID == int(ii)].Malignancy.values[0] for ii in nodule_ids]
-        rater_labels.extend([0] * (4 - len(rater_labels)))
-        mal_label = np.mean([ii for ii in rater_labels if ii > -1])
-        roi_rater_list = []
-        for rp in roi_id_paths:
-            roi = sitk.ReadImage(os.path.join(cf.raw_data_dir, pid, rp))
-            roi_arr = sitk.GetArrayFromImage(roi).astype(np.uint8)
-            roi_arr = resample_array(roi_arr, roi.GetSpacing(), cf.target_spacing)
-            assert roi_arr.shape == img_arr.shape, [roi_arr.shape, img_arr.shape, pid]
-            roi_rater_list.append(roi_arr)
-        roi_rater_list.extend([np.zeros_like(roi_rater_list[-1])] * (4 - len(roi_id_paths)))
-        roi_raters = np.mean(np.array(roi_rater_list), axis=0)
-        roi_raters[roi_raters < 0.5] = 0
-        if np.sum(roi_raters) > 0:
-            mal_labels.append(mal_label)
-            final_rois[roi_raters >= 0.5] = rix
-            rix += 1
+    for rid in sorted(masks_by_roi):
+        fused, malignancy = _fuse_one_nodule(masks_by_roi[rid], char_df, pid, cf, img_arr.shape)
+        if fused.any():
+            mal_labels.append(malignancy)
+            final_rois[fused] = len(mal_labels)
         else:
-            print("suppressed roi!", roi_id_paths)
+            print("suppressed roi!", masks_by_roi[rid])
             with open(os.path.join(cf.pp_dir, "suppressed_rois.txt"), "a") as handle:
-                handle.write(" ".join(roi_id_paths))
+                handle.write(" ".join(masks_by_roi[rid]) + "\n")
 
-    fg_slices = [ii for ii in np.unique(np.argwhere(final_rois != 0)[:, 0])]
+    fg_slices = [int(z) for z in np.unique(np.nonzero(final_rois)[0])]
     mal_labels = np.array(mal_labels)
     assert len(mal_labels) + 1 == len(np.unique(final_rois)), [len(mal_labels), np.unique(final_rois), pid]
 
     np.save(os.path.join(cf.pp_dir, f"{pid}_rois.npy"), final_rois)
     np.save(os.path.join(cf.pp_dir, f"{pid}_img.npy"), img_arr)
     with open(os.path.join(cf.pp_dir, f"meta_info_{pid}.pickle"), "wb") as handle:
-        pickle.dump(
-            {"pid": pid, "class_target": mal_labels, "spacing": img.GetSpacing(), "fg_slices": fg_slices}, handle
-        )
+        pickle.dump({"pid": pid, "class_target": mal_labels, "spacing": spacing, "fg_slices": fg_slices}, handle)
 
 
 def aggregate_meta_info(exp_dir):

@@ -126,7 +126,11 @@ def create_data_gen_pipeline(patient_data, cf, is_training=True):
         )
 
     transforms.append(convert_t)
-    return MultiThreadedGenerator(data_gen, transforms, n_workers=cf.n_workers, seeds=range(cf.n_workers))
+    from medicaldetectiontoolkit_tpu.parallel import host_shard_info
+
+    rank, _ = host_shard_info(cf)  # multi-host: distinct sampling per process
+    seeds = [rank * cf.n_workers + w for w in range(cf.n_workers)]
+    return MultiThreadedGenerator(data_gen, transforms, n_workers=cf.n_workers, seeds=seeds)
 
 
 class BatchGenerator(BatchGeneratorBase):

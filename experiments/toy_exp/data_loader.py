@@ -137,7 +137,11 @@ def _make_transforms(cf, do_aug):
 def create_data_gen_pipeline(patient_data, cf, do_aug=True):
     data_gen = BatchGenerator(patient_data, batch_size=cf.batch_size, cf=cf)
     transforms = _make_transforms(cf, do_aug)
-    return MultiThreadedGenerator(data_gen, transforms, n_workers=cf.n_workers, seeds=range(cf.n_workers))
+    from medicaldetectiontoolkit_tpu.parallel import host_shard_info
+
+    rank, _ = host_shard_info(cf)  # multi-host: distinct sampling per process
+    seeds = [rank * cf.n_workers + w for w in range(cf.n_workers)]
+    return MultiThreadedGenerator(data_gen, transforms, n_workers=cf.n_workers, seeds=seeds)
 
 
 class PatientBatchIterator:
@@ -151,7 +155,10 @@ class PatientBatchIterator:
         self._data = data
         self.cf = cf
         self.patient_ix = 0
-        self.dataset_pids = [v["pid"] for (k, v) in data.items()]
+        from medicaldetectiontoolkit_tpu.parallel import host_shard_info
+
+        rank, world = host_shard_info(cf)  # per-host patient slice (no-op on 1 host)
+        self.dataset_pids = [v["pid"] for (k, v) in data.items()][rank::world]
 
     def __iter__(self):
         return self

@@ -1,19 +1,23 @@
 """Data-loading utilities: balanced sampling, CV folds, patch grids, padding.
 
-Behavior-equivalent rebuild of the reference's ``utils/dataloader_utils.py``:
+Behavior-equivalent rebuild of the reference's ``utils/dataloader_utils.py``
+(same contracts, independent implementations — pinned by exact parity tests
+against the mounted reference in ``tests/test_reference_parity.py``):
   * ``get_class_balanced_patients`` — roi-level class-equilibrium patient
-    sampling with a slack ratio (:23-55);
-  * ``fold_generator`` — n-fold CV with an inner-loop test split, identical
-    rotation scheme and seeding so fold memberships match (:59-136);
+    sampling with a slack ratio (ref :23-55);
+  * ``fold_generator`` — n-fold CV with an inner-loop test split; the exact
+    rotation scheme and seeding are the contract (fold memberships must match
+    the reference so experiments are comparable) (ref :59-136);
   * ``get_patch_crop_coords`` — overlapping patch grid with a minimum overlap
-    (default 30 px) and per-slice z-tiling for patch_size z == 1 (:140-180);
+    (default 30 px) and per-slice z-tiling for patch_size z == 1 (ref :140-180);
   * ``pad_nd_image`` — pad to min shape and/or divisibility with an inverse
-    slicer (:184-245);
-  * npz <-> npy pack/unpack helpers (:252-278).
+    slicer (ref :184-245);
+  * npz <-> npy pack/unpack helpers (ref pack_dataset.py).
 """
 
 from __future__ import annotations
 
+import itertools
 import os
 from concurrent.futures import ThreadPoolExecutor
 
@@ -25,173 +29,159 @@ def get_class_balanced_patients(class_targets, batch_size, num_classes, slack_fa
 
     class_targets: list (per patient) of lists of roi class labels (0-based
     foreground classes). The first ``slack_factor * batch_size`` picks are
-    unconstrained; afterwards a candidate is accepted if its rarest class is
-    not the batch's current weakest class while it does contain the weakest
-    class — i.e. it boosts what the batch lacks.
+    unconstrained; afterwards a candidate is accepted only if it would boost
+    the batch's currently scarcest class: it must contain that class, and the
+    class must not also be the candidate's own scarcest one.
+
+    The RNG call sequence (one ``choice(n, 1)`` per attempt) is part of the
+    reproducibility contract and must not change.
     """
     rng = rng or np.random
-    batch_ixs = []
-    class_count = {k: 0 for k in range(num_classes)}
-    weakest_class = 0
-    for ix in range(batch_size):
-        tries = 0
-        while True:
-            cand = rng.choice(len(class_targets), 1)[0]
-            cand_targets = list(class_targets[cand])
-            tmp_weakest_class = np.argmin([cand_targets.count(ii) for ii in range(num_classes)])
-            if (tmp_weakest_class != weakest_class and cand_targets.count(weakest_class) > 0) or ix < int(
-                batch_size * slack_factor
-            ):
+    n_patients = len(class_targets)
+    # per-patient class histogram, computed once up front
+    counts = np.zeros((n_patients, num_classes), dtype=np.int64)
+    for p, targets in enumerate(class_targets):
+        for t in targets:
+            counts[p, t] += 1
+
+    n_slack = int(batch_size * slack_factor)
+    # safety bound absent in the reference: if the scarcest class does not
+    # exist in the dataset at all, accept any candidate rather than spinning
+    max_tries = 100 * max(n_patients, batch_size)
+
+    picks = []
+    batch_counts = np.zeros(num_classes, dtype=np.int64)
+    scarcest = 0
+    for k in range(batch_size):
+        for _ in range(max_tries):
+            cand = rng.choice(n_patients, 1)[0]
+            if k < n_slack:
                 break
-            # safety bound absent in the reference: if the weakest class does
-            # not exist in the dataset at all, accept any candidate rather
-            # than spinning forever.
-            tries += 1
-            if tries > 100 * max(len(class_targets), batch_size):
+            boosts_scarcest = counts[cand, scarcest] > 0
+            if boosts_scarcest and int(np.argmin(counts[cand])) != scarcest:
                 break
-        for c in range(num_classes):
-            class_count[c] += list(class_targets[cand]).count(c)
-        weakest_class = np.argmin([class_count[c] for c in range(num_classes)])
-        batch_ixs.append(cand)
-    return batch_ixs
+        picks.append(cand)
+        batch_counts += counts[cand]
+        scarcest = int(np.argmin(batch_counts))
+    return picks
+
+
+def _rotation_splits(n_items, n_splits):
+    """Yield (train, val, test) position lists for each of n_splits folds.
+
+    The scheme is a block rotation over the (already shuffled) positions
+    0..n_items-1: three leading chunks of size ceil(n/k) seed test/val/train;
+    each fold then retires the test block into the train pool, promotes val to
+    test, and draws a fresh val chunk off the train front. The first
+    ``(-n) mod k`` drawn chunks are one element short so sizes balance, and
+    when n mod k == 1 the second-to-last fold donates val's last element to
+    the retiring block to even out the final fold.
+    """
+    size = int(np.ceil(n_items / n_splits))
+    shortfall = (-n_items) % n_splits  # number of one-smaller val chunks
+    positions = list(range(n_items))
+    test, val, train = positions[:size], positions[size : 2 * size], positions[2 * size :]
+    for fold in range(n_splits):
+        yield train, val, test
+        retired = list(test)
+        if fold == n_splits - 2 and n_items % n_splits == 1:
+            retired.append(val[-1])
+            val = val[:-1]
+        take = size - 1 if fold < shortfall else size
+        test, val, train = val, train[:take], train[take:] + retired
 
 
 class fold_generator:
-    """n-fold CV splitter with inner-loop test set; reproduces the reference's
-    rotation scheme exactly (same seed -> same fold memberships)."""
+    """n-fold CV splitter with inner-loop test set.
+
+    Same (seed, n_splits, len_data) -> same fold memberships as the
+    reference's splitter — that mapping is the compatibility contract for
+    resuming / comparing experiments (pinned by exact parity tests).
+    """
 
     def __init__(self, seed, n_splits, len_data):
-        self.tr_ix = []
-        self.val_ix = []
-        self.te_ix = []
-        self.slicer = None
-        self.missing = 0
-        self.fold = 0
-        self.len_data = len_data
-        self.n_splits = n_splits
         self.myseed = seed
-        self.boost_val = 0
-
-    def init_indices(self):
-        t = list(np.arange(self.l))
-        split_length = int(np.ceil(len(t) / float(self.n_splits)))
-        self.slicer = split_length
-        self.mod = len(t) % self.n_splits
-        if self.mod > 0:
-            self.missing = self.n_splits - self.mod
-        self.te_ix = t[: self.slicer]
-        self.tr_ix = t[self.slicer :]
-        self.val_ix = self.tr_ix[: self.slicer]
-        self.tr_ix = self.tr_ix[self.slicer :]
-
-    def new_fold(self):
-        slicer = self.slicer
-        if self.fold < self.missing:
-            slicer = self.slicer - 1
-        temp = self.te_ix
-        # mod == 1 exception: rebalance the last fold by one element
-        if self.fold == self.n_splits - 2 and self.mod == 1:
-            temp += self.val_ix[-1:]
-            self.val_ix = self.val_ix[:-1]
-        self.te_ix = self.val_ix
-        self.val_ix = self.tr_ix[:slicer]
-        self.tr_ix = self.tr_ix[slicer:] + temp
+        self.n_splits = n_splits
+        self.len_data = len_data
 
     def get_fold_names(self):
-        names_list = []
         rgen = np.random.RandomState(self.myseed)
-        cv_names = np.arange(self.len_data)
-        rgen.shuffle(cv_names)
-        self.l = len(cv_names)
-        self.init_indices()
-        for _ in range(self.n_splits):
-            train_names = cv_names[self.tr_ix]
-            val_names = cv_names[self.val_ix]
-            test_names = cv_names[self.te_ix]
-            names_list.append([train_names, val_names, test_names, self.fold])
-            self.new_fold()
-            self.fold += 1
-        return names_list
+        names = np.arange(self.len_data)
+        rgen.shuffle(names)
+        return [
+            [names[tr], names[val], names[te], fold]
+            for fold, (tr, val, te) in enumerate(_rotation_splits(self.len_data, self.n_splits))
+        ]
+
+
+def _axis_intervals(extent, psize, min_overlap):
+    """(start, end) float intervals tiling one axis with >= min_overlap."""
+    n = int(np.ceil(extent / psize))
+    if n == 1:
+        return [(0, extent)]
+    stride = (extent - psize) / (n - 1)
+    if psize - stride < min_overlap:
+        n += 1
+        stride = (extent - psize) / (n - 1)
+    centers = np.round(psize / 2 + stride * np.arange(n))
+    half = psize / 2
+    return [(c - half, c + half) for c in centers]
 
 
 def get_patch_crop_coords(img, patch_size, min_overlap=30):
     """Overlapping patch grid over an image; (n_patches, 2*dim) int coords.
 
-    Outer patches pinned at the borders, inner centers interpolated; an extra
-    patch is inserted per axis when overlap would fall below ``min_overlap``.
-    patch_size z == 1 emits one patch per slice (2D-on-3D mode).
+    Outer patches pinned at the borders, inner centers evenly spaced; an
+    extra patch is inserted per axis when overlap would fall below
+    ``min_overlap``. patch_size z == 1 emits one patch per slice
+    (2D-on-3D mode). Order: y-major, then x, then z.
     """
-    crop_coords = []
-    for dim in range(len(img.shape)):
-        n_patches = int(np.ceil(img.shape[dim] / patch_size[dim]))
-        if n_patches == 1:
-            crop_coords.append([(0, img.shape[dim])])
-            continue
-        center_dists = (img.shape[dim] - patch_size[dim]) / (n_patches - 1)
-        if (patch_size[dim] - center_dists) < min_overlap:
-            n_patches += 1
-            center_dists = (img.shape[dim] - patch_size[dim]) / (n_patches - 1)
-        patch_centers = np.round([(patch_size[dim] / 2 + (center_dists * ii)) for ii in range(n_patches)])
-        crop_coords.append([(c - patch_size[dim] / 2, c + patch_size[dim] / 2) for c in patch_centers])
-
-    coords_mesh_grid = []
-    for ymin, ymax in crop_coords[0]:
-        for xmin, xmax in crop_coords[1]:
-            if len(crop_coords) == 3 and patch_size[2] > 1:
-                for zmin, zmax in crop_coords[2]:
-                    coords_mesh_grid.append([ymin, ymax, xmin, xmax, zmin, zmax])
-            elif len(crop_coords) == 3 and patch_size[2] == 1:
-                for zmin in range(img.shape[2]):
-                    coords_mesh_grid.append([ymin, ymax, xmin, xmax, zmin, zmin + 1])
-            else:
-                coords_mesh_grid.append([ymin, ymax, xmin, xmax])
-    return np.array(coords_mesh_grid).astype(int)
+    intervals = [_axis_intervals(e, p, min_overlap) for e, p in zip(img.shape, patch_size)]
+    is_3d = len(intervals) == 3
+    boxes = []
+    for (y0, y1), (x0, x1) in itertools.product(intervals[0], intervals[1]):
+        if not is_3d:
+            boxes.append((y0, y1, x0, x1))
+        elif patch_size[2] == 1:
+            boxes.extend((y0, y1, x0, x1, z, z + 1) for z in range(img.shape[2]))
+        else:
+            boxes.extend((y0, y1, x0, x1, z0, z1) for z0, z1 in intervals[2])
+    return np.array(boxes).astype(int)
 
 
 def pad_nd_image(image, new_shape=None, mode="edge", kwargs=None, return_slicer=False, shape_must_be_divisible_by=None):
     """Pad trailing axes to a minimum shape and/or divisibility constraint.
 
     new_shape applies to the LAST len(new_shape) axes; axes are never cropped
-    (new_shape is a minimum). With return_slicer, also returns slices that
-    crop the result back to the original shape.
+    (new_shape is a minimum). Padding splits evenly, extra pixel above. With
+    return_slicer, also returns slices that crop the result back to the
+    original shape.
     """
-    if kwargs is None:
-        kwargs = {}
-    if new_shape is not None:
-        old_shape = np.array(image.shape[-len(new_shape) :])
-    else:
-        assert shape_must_be_divisible_by is not None
-        assert isinstance(shape_must_be_divisible_by, (list, tuple, np.ndarray))
-        new_shape = image.shape[-len(shape_must_be_divisible_by) :]
-        old_shape = new_shape
+    kwargs = kwargs or {}
+    div = shape_must_be_divisible_by
+    if new_shape is None:
+        assert div is not None
+        assert isinstance(div, (list, tuple, np.ndarray))
+        new_shape = image.shape[-len(div) :]
 
-    num_axes_nopad = len(image.shape) - len(new_shape)
-    new_shape = [max(new_shape[i], old_shape[i]) for i in range(len(new_shape))]
-    new_shape = np.array(new_shape)
+    tail = np.asarray(image.shape[-len(new_shape) :], dtype=np.int64)
+    target = np.maximum(np.asarray(new_shape, dtype=np.int64), tail)
+    if div is not None:
+        if not isinstance(div, (list, tuple, np.ndarray)):
+            div = [div] * len(target)
+        assert len(div) == len(target)
+        div = np.asarray(div, dtype=np.int64)
+        target = -(-target // div) * div  # round up; exact multiples unchanged
 
-    if shape_must_be_divisible_by is not None:
-        if not isinstance(shape_must_be_divisible_by, (list, tuple, np.ndarray)):
-            shape_must_be_divisible_by = [shape_must_be_divisible_by] * len(new_shape)
-        else:
-            assert len(shape_must_be_divisible_by) == len(new_shape)
-        for i in range(len(new_shape)):
-            if new_shape[i] % shape_must_be_divisible_by[i] == 0:
-                new_shape[i] -= shape_must_be_divisible_by[i]
-        new_shape = np.array(
-            [new_shape[i] + shape_must_be_divisible_by[i] - new_shape[i] % shape_must_be_divisible_by[i] for i in range(len(new_shape))]
-        )
-
-    difference = new_shape - old_shape
-    pad_below = difference // 2
-    pad_above = difference // 2 + difference % 2
-    pad_list = [[0, 0]] * num_axes_nopad + list([list(i) for i in zip(pad_below, pad_above)])
-    res = np.pad(image, pad_list, mode, **kwargs)
+    lead = image.ndim - len(target)
+    diff = target - tail
+    below = diff // 2
+    pad_widths = [(0, 0)] * lead + [(int(b), int(d - b)) for b, d in zip(below, diff)]
+    padded = np.pad(image, pad_widths, mode, **kwargs)
     if not return_slicer:
-        return res
-    pad_arr = np.array(pad_list)
-    pad_arr[:, 1] = np.array(res.shape) - pad_arr[:, 1]
-    slicer = list(slice(*i) for i in pad_arr)
-    return res, slicer
+        return padded
+    slicer = [slice(lo, size - hi) for (lo, hi), size in zip(pad_widths, padded.shape)]
+    return padded, slicer
 
 
 #############################

@@ -99,54 +99,65 @@ class Evaluator:
             return self.return_metrics(monitor_metrics)
 
     def _match_element(self, rows, b_boxes_list, cl, pid, match_iou):
-        """One batch element x one class: emit tp/fp/fn rows (COCO rules)."""
-        tar = np.array(
-            [box["box_coords"] for box in b_boxes_list if box["box_type"] == "gt" and box["box_label"] == cl]
-        )
-        cand = np.array(
-            [box["box_coords"] for box in b_boxes_list if box["box_type"] == "det" and box["box_pred_class_id"] == cl]
-        )
-        scores = np.array(
-            [box["box_score"] for box in b_boxes_list if box["box_type"] == "det" and box["box_pred_class_id"] == cl]
-        )
+        """One batch element x one class: emit tp/fp/fn rows.
 
-        def emit(sc, lab, typ, n=None):
-            n = len(sc) if n is None else n
-            rows["pred_score"] += list(sc) if hasattr(sc, "__len__") else [sc] * n
-            rows["class_label"] += [lab] * n
-            rows["pred_class"] += [cl] * n
-            rows["pid"] += [pid] * n
-            rows["det_type"] += [typ] * n
+        Matching contract (reference ``evaluator.py:100-160``, vectorized
+        here over a det x gt assignment matrix): a detection matches the GT
+        with its highest IoU if that IoU exceeds match_iou; when several
+        detections claim the same GT, only the highest-scoring one is a TP
+        (earliest index wins score ties), the rest become FPs; unmatched
+        detections are FPs; GTs claimed by no detection are FNs (score 0,
+        label 1). Emission order per element: demoted FPs, TPs, unmatched
+        FPs, FNs.
+        """
+        gt_coords, det_coords, det_scores = [], [], []
+        for box in b_boxes_list:
+            if box["box_type"] == "gt" and box["box_label"] == cl:
+                gt_coords.append(box["box_coords"])
+            elif box["box_type"] == "det" and box["box_pred_class_id"] == cl:
+                det_coords.append(box["box_coords"])
+                det_scores.append(box["box_score"])
+        n_det, n_gt = len(det_coords), len(gt_coords)
+        scores = np.asarray(det_scores)
 
-        if 0 not in cand.shape and 0 not in tar.shape:
-            overlaps = _iou_matrix(cand, tar)
-            match_cand_ixs = np.argwhere(np.max(overlaps, 1) > match_iou)[:, 0]
-            non_match_cand_ixs = np.argwhere(np.max(overlaps, 1) <= match_iou)[:, 0]
-            match_gt_ixs = np.argmax(overlaps[match_cand_ixs, :], 1) if 0 not in match_cand_ixs.shape else np.array([])
-            non_match_gt_ixs = np.array([ii for ii in np.arange(tar.shape[0]) if ii not in match_gt_ixs])
-            unique, counts = np.unique(match_gt_ixs, return_counts=True)
+        def emit(score_values, label, det_type):
+            rows["pred_score"] += list(score_values)
+            rows["class_label"] += [label] * len(score_values)
+            rows["pred_class"] += [cl] * len(score_values)
+            rows["pid"] += [pid] * len(score_values)
+            rows["det_type"] += [det_type] * len(score_values)
 
-            if np.any(counts > 1):  # double assignments: keep max score, rest fp
-                double_match_gt_ixs = unique[np.argwhere(counts > 1)[:, 0]]
-                keep_max, double_match_list = [], []
-                for dg in double_match_gt_ixs:
-                    double_match_cand_ixs = match_cand_ixs[np.argwhere(match_gt_ixs == dg)]
-                    keep_max.append(double_match_cand_ixs[np.argmax(scores[double_match_cand_ixs])])
-                    double_match_list += [ii for ii in double_match_cand_ixs]
-                fp_ixs = np.array([ii for ii in match_cand_ixs if (ii in double_match_list and ii not in keep_max)])
-                match_cand_ixs = np.array([ii for ii in match_cand_ixs if ii not in fp_ixs])
-                emit(scores[fp_ixs], 0, "det_fp")
-
-            if 0 not in match_cand_ixs.shape:
-                emit(scores[match_cand_ixs], 1, "det_tp")
-            if 0 not in non_match_cand_ixs.shape:
-                emit(scores[non_match_cand_ixs], 0, "det_fp")
-            if 0 not in non_match_gt_ixs.shape:
-                emit(0, 1, "det_fn", n=non_match_gt_ixs.shape[0])
-        elif 0 not in cand.shape:
+        if n_det == 0:
+            if n_gt:
+                emit([0] * n_gt, 1, "det_fn")
+            return
+        if n_gt == 0:
             emit(scores, 0, "det_fp")
-        elif 0 not in tar.shape:
-            emit(0, 1, "det_fn", n=tar.shape[0])
+            return
+
+        overlaps = _iou_matrix(np.asarray(det_coords), np.asarray(gt_coords))  # (D, G)
+        matched = overlaps.max(axis=1) > match_iou
+        claimed_gt = overlaps.argmax(axis=1)
+        # assignment matrix: det d claims gt g
+        assign = matched[:, None] & (claimed_gt[:, None] == np.arange(n_gt)[None, :])
+        # per claimed gt, the highest-scoring claimant wins (argmax -> first
+        # max on ties, i.e. lowest det index)
+        claimant_scores = np.where(assign, scores[:, None], -np.inf)
+        winner_per_gt = claimant_scores.argmax(axis=0)
+        is_tp = np.zeros(n_det, bool)
+        claimed = assign.any(axis=0)
+        is_tp[winner_per_gt[claimed]] = True
+        demoted = matched & ~is_tp
+
+        if demoted.any():
+            emit(scores[demoted], 0, "det_fp")
+        if is_tp.any():
+            emit(scores[is_tp], 1, "det_tp")
+        if (~matched).any():
+            emit(scores[~matched], 0, "det_fp")
+        n_fn = int((~claimed).sum())
+        if n_fn:
+            emit([0] * n_fn, 1, "det_fn")
 
     def return_metrics(self, monitor_metrics=None):
         """AP/AUC per (class x score level); appends to monitor_metrics."""

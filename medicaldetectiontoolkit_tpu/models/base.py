@@ -208,6 +208,22 @@ class Detector:
             self.logger.info(f"data-parallel training over {len(self._mesh.devices.ravel())} devices")
         return self._mesh
 
+    def enable_data_parallel_inference(self, n_devices=None):
+        """Shard the jitted predict fn over a device mesh (batch on axis 0,
+        params replicated). Per-element outputs match the single-device path
+        up to float reduction order (~1e-6); batch size must divide by the
+        mesh size (the predictor pads chunks to cf.batch_size, so configure
+        batch_size as a multiple of the mesh)."""
+        from medicaldetectiontoolkit_tpu.parallel import mesh as pmesh
+
+        n = n_devices or getattr(self.cf, "n_data_parallel", None)
+        mesh = getattr(self, "_mesh", None) or pmesh.get_mesh(n)
+        self._mesh = mesh
+        self._predict_fn = pmesh.make_data_parallel_predict(self, mesh)
+        if self.logger is not None:
+            self.logger.info(f"data-parallel inference over {len(mesh.devices.ravel())} devices")
+        return mesh
+
     def __init__(self, cf, logger):
         self.cf = cf
         self.logger = logger

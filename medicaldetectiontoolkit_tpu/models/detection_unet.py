@@ -69,38 +69,37 @@ class SegUNetModule(nn.Module):
 def get_coords(binary_mask, n_components, dim):
     """Boxes around the n largest connected components per batch element.
 
-    binary_mask: (b, y, x, (z)) uint8. Returns (batch_coords, batch_components)
-    exactly like the reference (``detection_unet.py:172-213``): in-plane
-    coords get a -1/+1 halo and are clipped; z coords are [min, max+1].
+    binary_mask: (b, y, x, (z)) uint8. Contract (ref ``detection_unet.py:172-213``):
+    components ranked by voxel count descending; in-plane box coords get a
+    -1/+1 halo clipped to [0, in-plane extent]; z coords are [min, max+1]
+    clipped to the z extent. Bounding boxes come from ``ndimage.find_objects``
+    (whose slice stops are already max+1) rather than coordinate scans.
     """
     binary_mask = binary_mask.astype("uint8")
-    batch_coords = []
-    batch_components = []
-    for b in binary_mask:
-        clusters, _ = ndimage.label(b)
-        uniques, counts = np.unique(clusters, return_counts=True)
-        keep_uniques = uniques[1:][np.argsort(counts[1:])[::-1]][:n_components]
-        p_components = np.array([(clusters == ii) * 1 for ii in keep_uniques])
-        p_coords = []
-        if p_components.shape[0] > 0:
-            for roi in p_components:
-                mask_ixs = np.argwhere(roi != 0)
-                roi_coords = [
-                    np.min(mask_ixs[:, 0]) - 1,
-                    np.min(mask_ixs[:, 1]) - 1,
-                    np.max(mask_ixs[:, 0]) + 1,
-                    np.max(mask_ixs[:, 1]) + 1,
-                ]
-                if dim == 3:
-                    roi_coords += [np.min(mask_ixs[:, 2]), np.max(mask_ixs[:, 2]) + 1]
-                p_coords.append(roi_coords)
-            p_coords = np.array(p_coords)
-            p_coords[p_coords < 0] = 0
-            p_coords[:, :4][p_coords[:, :4] > binary_mask.shape[-2]] = binary_mask.shape[-2]
+    in_plane_cap = binary_mask.shape[-2]
+    z_cap = binary_mask.shape[-1]
+    batch_coords, batch_components = [], []
+    for element in binary_mask:
+        labeled, n_found = ndimage.label(element)
+        object_slices = ndimage.find_objects(labeled)
+        sizes = np.bincount(labeled.ravel())[1:]  # component voxel counts, label order
+        largest = np.argsort(sizes)[::-1][:n_components] + 1 if n_found else []
+        coords, components = [], []
+        for lab in largest:
+            sl = object_slices[lab - 1]
+            box = [sl[0].start - 1, sl[1].start - 1, sl[0].stop, sl[1].stop]
             if dim == 3:
-                p_coords[:, 4:][p_coords[:, 4:] > binary_mask.shape[-1]] = binary_mask.shape[-1]
-        batch_coords.append(p_coords)
-        batch_components.append(p_components)
+                box += [sl[2].start, sl[2].stop]
+            coords.append(box)
+            components.append((labeled == lab).astype(np.int64))
+        if coords:
+            coords = np.array(coords)
+            np.clip(coords, 0, None, out=coords)
+            coords[:, :4] = np.minimum(coords[:, :4], in_plane_cap)
+            if dim == 3:
+                coords[:, 4:] = np.minimum(coords[:, 4:], z_cap)
+        batch_coords.append(coords)
+        batch_components.append(np.array(components))
     return batch_coords, batch_components
 
 

@@ -462,6 +462,7 @@ class MaskRCNNDetector(base.Detector):
 
     with_mask_head = True
     train_step_n_outputs = 4
+    predict_n_outputs = 4  # (det, det_mask, det_masks_raw, seg_preds)
     with_seg_head = False  # ufrcnn overrides
 
     def build(self):

@@ -7,4 +7,10 @@ existing jitted train step into data-parallel execution with XLA-inserted
 gradient all-reduces over ICI — no hand-written communication layer.
 """
 
-from medicaldetectiontoolkit_tpu.parallel.mesh import get_mesh, make_data_parallel_step, shard_batch  # noqa: F401
+from medicaldetectiontoolkit_tpu.parallel.mesh import (  # noqa: F401
+    get_mesh,
+    host_shard_info,
+    make_data_parallel_predict,
+    make_data_parallel_step,
+    shard_batch,
+)

@@ -82,11 +82,38 @@ def make_data_parallel_step(detector, mesh: Mesh, axis_name: str = DATA_AXIS):
 
 
 def make_data_parallel_predict(detector, mesh: Mesh, axis_name: str = DATA_AXIS):
-    """Sharded inference step: img sharded on batch, params replicated."""
+    """Sharded inference step: img sharded on batch, params replicated.
+
+    Every detector's ``_predict`` is (params, img, *static flags) ->
+    batch-leading outputs (None where a head is off — an empty pytree, whose
+    sharding spec is ignored). Only the batch axis is split, so per-element
+    results match the single-device path up to float reduction order.
+    """
+    import inspect
+
     repl = replicated(mesh)
     data = batch_sharded(mesh, axis_name)
+    n_outs = getattr(detector, "predict_n_outputs", 3)
+    static = tuple(
+        name for name in ("with_masks",) if name in inspect.signature(detector._predict).parameters
+    )
     return jax.jit(
         detector._predict,
         in_shardings=(repl, data),
-        out_shardings=(data, data, data) if detector.with_seg_head else (data, data, None),
+        out_shardings=(data,) * n_outs,
+        static_argnames=static,
     )
+
+
+def host_shard_info(cf=None):
+    """(rank, world) for multi-host input sharding.
+
+    Each host feeds its own slice of the data (scaling-book recipe:
+    process-local feed per host, nothing in the step function changes).
+    Honors a (rank, world) override in ``cf.input_shard`` (useful for tests);
+    degenerates to (0, 1) on a single host.
+    """
+    override = getattr(cf, "input_shard", None) if cf is not None else None
+    if override:
+        return int(override[0]), int(override[1])
+    return jax.process_index(), jax.process_count()

@@ -16,107 +16,117 @@ from copy import deepcopy
 import matplotlib
 
 matplotlib.use("Agg")
-import matplotlib.gridspec as gridspec  # noqa: E402
 import matplotlib.pyplot as plt  # noqa: E402
 import numpy as np  # noqa: E402
 
 
+def _unroll_3d_patient(data, segs, seg_preds, element_boxes, pid):
+    """Turn one 3D patient into a z-major slice batch windowed around its
+    first GT box (±5 slices; image center if no GT). Boxes are flattened to
+    their in-plane coords and repeated on every slice they span."""
+    data = np.moveaxis(data, -1, 0)  # (z, c, y, x)
+    segs = np.moveaxis(segs, -1, 0)
+    seg_preds = np.moveaxis(seg_preds, -1, 0)
+    n_z = data.shape[0]
+
+    gt_z = [b["box_coords"][4:6] for b in element_boxes if b["box_type"] == "gt"]
+    if gt_z:
+        lo, hi = max(int(gt_z[0][0]) - 5, 0), min(int(gt_z[0][1]) + 5, n_z)
+    else:
+        lo = max(n_z // 2 - 5, 0)
+        hi = n_z // 2 + min(10, n_z // 2)
+
+    per_slice = [[] for _ in range(n_z)]
+    for box in element_boxes:
+        c = box["box_coords"]
+        flat = dict(box, box_coords=np.asarray(c[:4], dtype=float))
+        z_from = int(np.clip(np.round(c[4]), 0, n_z - 1))
+        z_to = int(np.clip(np.round(c[5]), 0, n_z - 1))
+        for z in range(z_from, z_to + 1):
+            per_slice[z].append(flat)
+
+    return data[lo:hi], segs[lo:hi], seg_preds[lo:hi], per_slice[lo:hi], [pid] * (hi - lo)
+
+
+def _overlay_boxes(ax, boxes, with_dets, cf):
+    """Draw box outlines (+ class/score annotations) onto one axes."""
+    from matplotlib.patches import Rectangle
+
+    for box in boxes:
+        kind = box["box_type"]
+        if kind == "patient_tn_box":
+            continue
+        c = box["box_coords"]
+        annotation = None
+        if kind == "det":
+            if not (with_dets and box["box_pred_class_id"] > 0 and box["box_score"] > 0.1):
+                continue
+            annotation = (
+                c[1] + 10 * (box["box_pred_class_id"] - 1),
+                c[2] + 5,
+                f"{box['box_pred_class_id']}|{np.max(box['box_score']) * 100:.0f}",
+                "w",
+            )
+        elif kind == "gt":
+            annotation = (c[1], c[0] - 1, int(box["box_label"]), "r")
+        ax.add_patch(
+            Rectangle(
+                (c[1], c[0]), c[3] - c[1], c[2] - c[0],
+                fill=False, edgecolor=cf.box_color_palette[kind], linewidth=1,
+            )
+        )
+        if annotation is not None:
+            x, y, text, color = annotation
+            ax.text(x, y, text, fontsize=7, color=color)
+
+
 def plot_batch_prediction(batch, results_dict, cf, outfile=None):
-    """Grid plot: per batch element, rows = data channels / GT seg / pred seg /
-    data-with-boxes. For 3D, one sampled patient is unrolled into slices
-    around its first GT box."""
+    """Monitoring grid: one column per batch element (or z-slice in 3D), rows
+    = data channels, GT seg, predicted seg, data-with-boxes overlay. Same
+    artifact as the reference's example-prediction plot (``plotting.py:26-158``)."""
     if outfile is None:
         outfile = os.path.join(cf.plot_dir, f"pred_example_{cf.fold}.png")
 
-    data = batch["data"]
-    segs = batch["seg"]
+    data, segs, seg_preds = batch["data"], batch["seg"], results_dict["seg_preds"]
+    boxes_per_element = deepcopy(results_dict["boxes"])
     pids = batch["pid"]
     if len(set(map(str, np.atleast_1d(pids)))) == 1:
         pids = [pids] * data.shape[0]
 
-    seg_preds = results_dict["seg_preds"]
-    roi_results = deepcopy(results_dict["boxes"])
-
     if cf.dim == 3:
-        patient_ix = np.random.choice(data.shape[0])
-        data = np.transpose(data[patient_ix], axes=(3, 0, 1, 2))
-        gt_boxes = [box["box_coords"] for box in roi_results[patient_ix] if box["box_type"] == "gt"]
-        if len(gt_boxes) > 0:
-            z_cuts = [np.max((int(gt_boxes[0][4]) - 5, 0)), np.min((int(gt_boxes[0][5]) + 5, data.shape[0]))]
-        else:
-            z_cuts = [data.shape[0] // 2 - 5, int(data.shape[0] // 2 + np.min([10, data.shape[0] // 2]))]
-        p_roi_results = roi_results[patient_ix]
-        roi_results = [[] for _ in range(data.shape[0])]
-        for box in p_roi_results:
-            b = box["box_coords"]
-            slices = np.round(np.unique(np.clip(np.arange(b[4], b[5] + 1), 0, data.shape[0] - 1)))
-            for s in slices:
-                slice_box = dict(box)
-                slice_box["box_coords"] = b[:4]
-                roi_results[int(s)].append(slice_box)
-        roi_results = roi_results[z_cuts[0] : z_cuts[1]]
-        data = data[z_cuts[0] : z_cuts[1]]
-        segs = np.transpose(segs[patient_ix], axes=(3, 0, 1, 2))[z_cuts[0] : z_cuts[1]]
-        seg_preds = np.transpose(seg_preds[patient_ix], axes=(3, 0, 1, 2))[z_cuts[0] : z_cuts[1]]
-        pids = [pids[patient_ix]] * data.shape[0]
-
-    for i in [0, 2, 3]:
-        assert data.shape[i] == segs.shape[i] == seg_preds.shape[i], (
-            f"shapes of arrays to plot not in agreement: {data.shape} vs {segs.shape} vs {seg_preds.shape}"
+        p = np.random.choice(data.shape[0])
+        data, segs, seg_preds, boxes_per_element, pids = _unroll_3d_patient(
+            data[p], segs[p], seg_preds[p], boxes_per_element[p], pids[p]
         )
 
-    show_arrays = np.concatenate([data, segs, seg_preds, data[:, 0][:, None]], axis=1).astype(float)
-    approx_figshape = (4 * show_arrays.shape[0], 4 * show_arrays.shape[1])
-    fig = plt.figure(figsize=approx_figshape)
-    gs = gridspec.GridSpec(show_arrays.shape[1] + 1, show_arrays.shape[0])
-    gs.update(wspace=0.1, hspace=0.1)
-    for b in range(show_arrays.shape[0]):
-        for m in range(show_arrays.shape[1]):
-            ax = plt.subplot(gs[m, b])
-            ax.axis("off")
-            arr = show_arrays[b, m]
-            if m < data.shape[1] or m == show_arrays.shape[1] - 1:
-                cmap, vmin, vmax = "gray", None, None
-            else:
-                cmap, vmin, vmax = None, 0, cf.num_seg_classes - 1
-            if m == 0:
-                plt.title(f"{str(pids[b])[:10]}", fontsize=20)
-            plt.imshow(arr, cmap=cmap, vmin=vmin, vmax=vmax)
-            if m >= data.shape[1]:
-                for box in roi_results[b]:
-                    if box["box_type"] == "patient_tn_box":
-                        continue
-                    coords = box["box_coords"]
-                    plot_text = False
-                    if box["box_type"] == "det":
-                        if not (box["box_pred_class_id"] > 0 and box["box_score"] > 0.1):
-                            continue
-                        # detections only on the dedicated overlay row
-                        if m != data.shape[1] + 1:
-                            continue
-                        plot_text = True
-                        score = np.max(box["box_score"])
-                        score_text = f"{box['box_pred_class_id']}|{score * 100:.0f}"
-                        score_font_size = 7
-                        text_color = "w"
-                        text_x = coords[1] + 10 * (box["box_pred_class_id"] - 1)
-                        text_y = coords[2] + 5
-                    elif box["box_type"] == "gt":
-                        plot_text = True
-                        score_text = int(box["box_label"])
-                        score_font_size = 7
-                        text_color = "r"
-                        text_x = coords[1]
-                        text_y = coords[0] - 1
-                    color = cf.box_color_palette[box["box_type"]]
-                    plt.plot([coords[1], coords[3]], [coords[0], coords[0]], color=color, linewidth=1)
-                    plt.plot([coords[1], coords[3]], [coords[2], coords[2]], color=color, linewidth=1)
-                    plt.plot([coords[1], coords[1]], [coords[0], coords[2]], color=color, linewidth=1)
-                    plt.plot([coords[3], coords[3]], [coords[0], coords[2]], color=color, linewidth=1)
-                    if plot_text:
-                        plt.text(text_x, text_y, score_text, fontsize=score_font_size, color=text_color)
+    assert data.shape[0] == segs.shape[0] == seg_preds.shape[0], (data.shape, segs.shape, seg_preds.shape)
+    assert data.shape[2:] == segs.shape[2:] == seg_preds.shape[2:], (data.shape, segs.shape, seg_preds.shape)
 
-    plt.savefig(outfile)
+    n_cols = data.shape[0]
+    n_chan = data.shape[1]
+    n_rows = n_chan + 3  # channels, gt seg, pred seg, overlay
+    fig, axes = plt.subplots(
+        n_rows, n_cols, figsize=(4 * n_cols, 4 * n_rows), squeeze=False,
+        gridspec_kw={"wspace": 0.1, "hspace": 0.1},
+    )
+    for col in range(n_cols):
+        axes[0, col].set_title(f"{str(pids[col])[:10]}", fontsize=20)
+        rows = (
+            [(data[col, ch], "gray", None, None, False, False) for ch in range(n_chan)]
+            + [
+                (segs[col, 0], None, 0, cf.num_seg_classes - 1, True, False),
+                (seg_preds[col, 0], None, 0, cf.num_seg_classes - 1, True, True),
+                (data[col, 0], "gray", None, None, True, False),
+            ]
+        )
+        for row, (img, cmap, vmin, vmax, with_boxes, with_dets) in enumerate(rows):
+            ax = axes[row, col]
+            ax.axis("off")
+            ax.imshow(np.asarray(img, dtype=float), cmap=cmap, vmin=vmin, vmax=vmax)
+            if with_boxes:
+                _overlay_boxes(ax, boxes_per_element[col], with_dets, cf)
+
+    fig.savefig(outfile)
     plt.close(fig)
 
 

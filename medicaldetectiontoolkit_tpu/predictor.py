@@ -29,7 +29,6 @@ from collections import OrderedDict
 from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
-from scipy.stats import norm
 
 from medicaldetectiontoolkit_tpu.utils.exp_utils import load_checkpoint_state
 
@@ -55,6 +54,10 @@ class Predictor:
             self.n_ens = cf.test_n_epochs
             if self.cf.test_aug:
                 self.n_ens *= 4
+            if getattr(cf, "n_data_parallel", None):
+                # shard the forward over the mesh (patch chunks are padded to
+                # cf.batch_size, so batch_size must divide by the mesh size)
+                net.enable_data_parallel_inference()
 
     # ------------------------------------------------------------------ #
 
@@ -195,127 +198,140 @@ class Predictor:
 
     # ------------------------------------------------------------------ #
 
+    # identity + 3 mirror variants; image axes to flip per variant (batch
+    # dict layout is (b, c, y, x, (z)), so y=2 / x=3)
+    _TTA_VARIANTS = (("1", (2,)), ("2", (3,)), ("3", (2, 3)))
+
     def data_aug_forward(self, batch):
         """Identity + 3 xy-mirror TTA; coords/segs un-mirrored afterwards."""
         patch_crops = batch["patch_crop_coords"] if self.patched_patient else None
-        results_list = [self.spatial_tiling_forward(batch, patch_crops)]
         org_img_shape = batch["original_img_shape"]
+        results_list = [self.spatial_tiling_forward(batch, patch_crops)]
 
         if self.mode == "test" and self.cf.test_aug:
-            if self.patched_patient:
-                mirrored_patch_crops = get_mirrored_patch_crops(patch_crops, batch["original_img_shape"])
-            else:
-                mirrored_patch_crops = [None] * 3
+            mirrored_crops = (
+                get_mirrored_patch_crops(patch_crops, org_img_shape) if self.patched_patient else [None] * 3
+            )
+            original_img = batch["data"]
+            for (n_aug, flip_axes), crops in zip(self._TTA_VARIANTS, mirrored_crops):
+                batch["data"] = np.flip(original_img, axis=flip_axes).copy()
+                variant = self.spatial_tiling_forward(batch, crops, n_aug=n_aug)
+                self._unmirror_variant(variant, flip_axes, org_img_shape)
+                results_list.append(variant)
+            batch["data"] = original_img
 
-            img = np.copy(batch["data"])
-
-            # mirror specs: list of (flip axes, coord fixers)
-            for n_aug, flip_axes in (("1", (2,)), ("2", (3,)), ("3", (2, 3))):
-                data = img
-                for ax in flip_axes:
-                    data = np.flip(data, axis=ax)
-                batch["data"] = data.copy()
-                chunk_dict = self.spatial_tiling_forward(
-                    batch, mirrored_patch_crops[int(n_aug) - 1], n_aug=n_aug
-                )
-                for ix in range(len(chunk_dict["boxes"])):
-                    for boxix in range(len(chunk_dict["boxes"][ix])):
-                        coords = np.array(chunk_dict["boxes"][ix][boxix]["box_coords"], dtype=float).copy()
-                        orig = np.array(chunk_dict["boxes"][ix][boxix]["box_coords"], dtype=float)
-                        if 2 in flip_axes:
-                            coords[0] = org_img_shape[2] - orig[2]
-                            coords[2] = org_img_shape[2] - orig[0]
-                        if 3 in flip_axes:
-                            coords[1] = org_img_shape[3] - orig[3]
-                            coords[3] = org_img_shape[3] - orig[1]
-                        assert coords[2] >= coords[0], [coords, orig]
-                        assert coords[3] >= coords[1], [coords, orig]
-                        chunk_dict["boxes"][ix][boxix]["box_coords"] = coords
-                seg = chunk_dict["seg_preds"]
-                for ax in flip_axes:
-                    seg = np.flip(seg, axis=ax)
-                chunk_dict["seg_preds"] = seg.copy()
-                results_list.append(chunk_dict)
-
-            batch["data"] = img
-
-        results_dict = {}
-        results_dict["boxes"] = [
-            [item for d in results_list for item in d["boxes"][batch_instance]]
-            for batch_instance in range(org_img_shape[0])
-        ]
-        results_dict["seg_preds"] = np.array(
-            [
-                [item for d in results_list for item in d["seg_preds"][batch_instance]]
-                for batch_instance in range(org_img_shape[0])
-            ]
-        )
+        # concatenate all variants per batch element
+        merged = {
+            "boxes": [
+                [box for d in results_list for box in d["boxes"][b]] for b in range(org_img_shape[0])
+            ],
+            "seg_preds": np.array(
+                [
+                    [ch for d in results_list for ch in d["seg_preds"][b]]
+                    for b in range(org_img_shape[0])
+                ]
+            ),
+        }
         if self.mode == "val":
-            results_dict["monitor_values"] = results_list[0]["monitor_values"]
-        return results_dict
+            merged["monitor_values"] = results_list[0]["monitor_values"]
+        return merged
+
+    @staticmethod
+    def _unmirror_variant(variant, flip_axes, org_img_shape):
+        """Map a mirrored variant's boxes + seg back to original orientation.
+
+        A flip along image axis a sends box interval [lo, hi] to
+        [extent - hi, extent - lo]; axis 2 is box coords (0, 2), axis 3 is
+        (1, 3); z (3D) is never flipped.
+        """
+        for element_boxes in variant["boxes"]:
+            for box in element_boxes:
+                c = np.array(box["box_coords"], dtype=float)
+                for ax, (lo_ix, hi_ix) in ((2, (0, 2)), (3, (1, 3))):
+                    if ax in flip_axes:
+                        extent = org_img_shape[ax]
+                        c[lo_ix], c[hi_ix] = extent - c[hi_ix], extent - c[lo_ix]
+                assert c[2] >= c[0] and c[3] >= c[1], (c, box["box_coords"])
+                box["box_coords"] = c
+        variant["seg_preds"] = np.flip(variant["seg_preds"], axis=flip_axes).copy()
+
+    def _center_trust_factor(self, box_coords):
+        """Gaussian weighting of a patch-local box by its distance from the
+        patch center: exp(-0.5 * ((center - patch_mid) / (0.8 * patch_mid))^2)
+        averaged over spatial dims — border boxes are less trustworthy."""
+        c = np.asarray(box_coords, dtype=float)
+        centers = [(c[0] + c[2]) / 2, (c[1] + c[3]) / 2] + ([(c[4] + c[5]) / 2] if self.cf.dim == 3 else [])
+        mids = np.asarray(self.cf.patch_size, dtype=float) / 2
+        return float(np.mean(np.exp(-0.5 * ((np.asarray(centers) - mids) / (0.8 * mids)) ** 2)))
+
+    @staticmethod
+    def _outer_int_box(coords):
+        """Integerize float box coords for overlap-map lookup: floor at even
+        positions, ceil at odd ones (the reference's rounding convention,
+        ``predictor.py:431-433`` — kept for behavioral parity)."""
+        c = np.asarray(coords, dtype=float)
+        out = np.empty(len(c), dtype=int)
+        out[0::2] = np.floor(c[0::2])
+        out[1::2] = np.ceil(c[1::2])
+        return out
 
     def spatial_tiling_forward(self, batch, patch_crops=None, n_aug="0"):
-        """Patch -> whole-image coords; overlap-averaged seg; WBC metadata."""
-        if patch_crops is not None:
-            patches_dict = self.batch_tiling_forward(batch)
-            results_dict = {"boxes": [[] for _ in range(batch["original_img_shape"][0])]}
+        """Patch -> whole-image coords; overlap-averaged seg; WBC metadata.
 
-            out_seg_preds = np.zeros(batch["original_img_shape"], dtype=np.float16)[:, 0][:, None]
-            patch_overlap_map = np.zeros_like(out_seg_preds, dtype="uint8")
-
-            for pix, pc in enumerate(patch_crops):
-                if self.cf.dim == 3:
-                    out_seg_preds[:, :, pc[0] : pc[1], pc[2] : pc[3], pc[4] : pc[5]] += patches_dict["seg_preds"][pix][None]
-                    patch_overlap_map[:, :, pc[0] : pc[1], pc[2] : pc[3], pc[4] : pc[5]] += 1
-                else:
-                    out_seg_preds[pc[4] : pc[5], :, pc[0] : pc[1], pc[2] : pc[3]] += patches_dict["seg_preds"][pix]
-                    patch_overlap_map[pc[4] : pc[5], :, pc[0] : pc[1], pc[2] : pc[3]] += 1
-
-            out_seg_preds[patch_overlap_map > 0] /= patch_overlap_map[patch_overlap_map > 0]
-            results_dict["seg_preds"] = out_seg_preds
-
-            for pix, pc in enumerate(patch_crops):
-                patch_boxes = patches_dict["boxes"][pix]
-                for box in patch_boxes:
-                    box["patch_id"] = self.rank_ix + "_" + n_aug + "_" + str(pix)
-                    c = np.array(box["box_coords"], dtype=float)
-                    box_centers = [(c[ii] + c[ii + 2]) / 2 for ii in range(2)]
-                    if self.cf.dim == 3:
-                        box_centers.append((c[4] + c[5]) / 2)
-                    # Gaussian center weighting: boxes near patch borders are less trustworthy
-                    box["box_patch_center_factor"] = np.mean(
-                        [
-                            norm.pdf(bc, loc=psh, scale=psh * 0.8) * np.sqrt(2 * np.pi) * psh * 0.8
-                            for bc, psh in zip(box_centers, np.array(self.cf.patch_size) / 2)
-                        ]
-                    )
-                    if self.cf.dim == 3:
-                        c += np.array([pc[0], pc[2], pc[0], pc[2], pc[4], pc[4]])
-                        int_c = [int(np.floor(ii)) if ix % 2 == 0 else int(np.ceil(ii)) for ix, ii in enumerate(c)]
-                        box["box_n_overlaps"] = np.mean(
-                            patch_overlap_map[:, :, int_c[1] : int_c[3], int_c[0] : int_c[2], int_c[4] : int_c[5]]
-                        )
-                        box["box_coords"] = c
-                        results_dict["boxes"][0].append(box)
-                    else:
-                        c += np.array([pc[0], pc[2], pc[0], pc[2]])
-                        int_c = [int(np.floor(ii)) if ix % 2 == 0 else int(np.ceil(ii)) for ix, ii in enumerate(c)]
-                        box["box_n_overlaps"] = np.mean(
-                            patch_overlap_map[pc[4], :, int_c[1] : int_c[3], int_c[0] : int_c[2]]
-                        )
-                        box["box_coords"] = c
-                        results_dict["boxes"][pc[4]].append(box)
-
-            if self.mode == "val":
-                results_dict["monitor_values"] = patches_dict["monitor_values"]
-        else:
+        Contract (reference ``predictor.py:370-455``): patch boxes get a
+        patch_id "{rank}_{aug}_{patch}", a Gaussian center-trust factor, and
+        box_n_overlaps = mean patch-overlap count inside the box; seg maps
+        are averaged where patches overlap. In 2D-on-3D mode (crop[4:] is a
+        z-slice) boxes land in their slice's results list.
+        """
+        if patch_crops is None:
             results_dict = self.batch_tiling_forward(batch)
-            for b in results_dict["boxes"]:
-                for box in b:
+            for element_boxes in results_dict["boxes"]:
+                for box in element_boxes:
                     box["box_patch_center_factor"] = 1
                     box["box_n_overlaps"] = 1
-                    box["patch_id"] = self.rank_ix + "_" + n_aug
+                    box["patch_id"] = f"{self.rank_ix}_{n_aug}"
+            return results_dict
 
+        patches_dict = self.batch_tiling_forward(batch)
+        out_shape = list(batch["original_img_shape"])
+        out_shape[1] = 1  # seg channel
+        seg_sum = np.zeros(out_shape, dtype=np.float16)
+        overlap_map = np.zeros(out_shape, dtype="uint8")
+
+        is_3d = self.cf.dim == 3
+        for pix, pc in enumerate(patch_crops):
+            region = (
+                (slice(None), slice(None), slice(pc[0], pc[1]), slice(pc[2], pc[3]), slice(pc[4], pc[5]))
+                if is_3d
+                else (slice(pc[4], pc[5]), slice(None), slice(pc[0], pc[1]), slice(pc[2], pc[3]))
+            )
+            seg_sum[region] += patches_dict["seg_preds"][pix][None] if is_3d else patches_dict["seg_preds"][pix]
+            overlap_map[region] += 1
+        covered = overlap_map > 0
+        seg_sum[covered] /= overlap_map[covered]
+
+        results_dict = {"boxes": [[] for _ in range(batch["original_img_shape"][0])], "seg_preds": seg_sum}
+        for pix, pc in enumerate(patch_crops):
+            # global-coord offset of this patch; z offset applies to both z
+            # coords in 3D, and selects the target slice in 2D-on-3D mode
+            offset = np.array([pc[0], pc[2], pc[0], pc[2]] + ([pc[4], pc[4]] if is_3d else []))
+            for box in patches_dict["boxes"][pix]:
+                box["patch_id"] = f"{self.rank_ix}_{n_aug}_{pix}"
+                box["box_patch_center_factor"] = self._center_trust_factor(box["box_coords"])
+                c = np.asarray(box["box_coords"], dtype=float) + offset
+                ic = self._outer_int_box(c)
+                if is_3d:
+                    box["box_n_overlaps"] = np.mean(overlap_map[:, :, ic[1] : ic[3], ic[0] : ic[2], ic[4] : ic[5]])
+                    target_element = 0
+                else:
+                    box["box_n_overlaps"] = np.mean(overlap_map[pc[4], :, ic[1] : ic[3], ic[0] : ic[2]])
+                    target_element = pc[4]
+                box["box_coords"] = c
+                results_dict["boxes"][target_element].append(box)
+
+        if self.mode == "val":
+            results_dict["monitor_values"] = patches_dict["monitor_values"]
         return results_dict
 
     def batch_tiling_forward(self, batch):
@@ -455,168 +471,124 @@ def merge_2D_to_3D_preds_per_patient(inputs):
     return [[out_patient_results_list], pid]
 
 
+def _legacy_iou_matrix(coords, dim):
+    """Full pairwise IoU with the legacy +1-pixel extent convention.
+
+    coords: (n, 2*dim) as (y1, x1, y2, x2, (z1, z2)). The +1 convention is
+    the reference consolidation contract (``predictor.py:617-648``).
+    """
+    los = [coords[:, 0], coords[:, 1]] + ([coords[:, 4]] if dim == 3 else [])
+    his = [coords[:, 2], coords[:, 3]] + ([coords[:, 5]] if dim == 3 else [])
+    extents = [hi - lo + 1 for lo, hi in zip(los, his)]
+    areas = np.prod(extents, axis=0)
+    inter = np.ones((coords.shape[0],) * 2)
+    for lo, hi in zip(los, his):
+        inter = inter * np.maximum(0.0, np.minimum(hi[:, None], hi[None, :]) - np.maximum(lo[:, None], lo[None, :]) + 1)
+    return inter / (areas[:, None] + areas[None, :] - inter)
+
+
 def weighted_box_clustering(dets, box_patch_id, thresh, n_ens):
-    """WBC: cluster at IoU > thresh; cluster score = weighted average of member
-    scores (weights = overlap * area * patch-center factor), divided by the
-    number of EXPECTED predictions at the position (n_ens * mean overlaps),
-    with missing members contributing the mean weight; coords = score-weighted
-    average. Clusters with avg score <= 0.01 are dropped.
+    """WBC: greedy score-ordered clustering on a precomputed IoU matrix.
+
+    Contract (reference ``predictor.py:597-706``): clusters form at
+    IoU > thresh around the highest-scoring unconsumed box; the cluster score
+    is the weighted average of member scores (weights = overlap with seed *
+    box area * patch-center factor) divided by the EXPECTED number of
+    predictions at that position (n_ens * mean member overlap count), where
+    missing predictions contribute the mean member weight — so detections
+    missing from some ensemble members / overlapping patches get downweighted.
+    Coords are the (weighted-score)-weighted average. Clusters with
+    avg score <= 0.01 are dropped.
     """
     dim = 2 if dets.shape[1] == 7 else 3
-    y1 = dets[:, 0]
-    x1 = dets[:, 1]
-    y2 = dets[:, 2]
-    x2 = dets[:, 3]
+    coords = dets[:, : 2 * dim]
     scores = dets[:, -3]
-    box_pc_facts = dets[:, -2]
-    box_n_ovs = dets[:, -1]
+    center_factors = dets[:, -2]
+    overlap_counts = dets[:, -1]
 
-    areas = (y2 - y1 + 1) * (x2 - x1 + 1)
+    extents = [coords[:, 2] - coords[:, 0] + 1, coords[:, 3] - coords[:, 1] + 1]
     if dim == 3:
-        z1 = dets[:, 4]
-        z2 = dets[:, 5]
-        areas *= z2 - z1 + 1
+        extents.append(coords[:, 5] - coords[:, 4] + 1)
+    areas = np.prod(extents, axis=0)
+    iou = _legacy_iou_matrix(coords, dim)
 
-    order = scores.argsort()[::-1]
-    keep_scores = []
-    keep_coords = []
+    keep_scores, keep_coords = [], []
+    consumed = np.zeros(len(scores), bool)
+    for seed in scores.argsort()[::-1]:
+        if consumed[seed]:
+            continue
+        members = ~consumed & (iou[seed] > thresh)
+        consumed |= members
 
-    while order.size > 0:
-        i = order[0]
-        xx1 = np.maximum(x1[i], x1[order])
-        yy1 = np.maximum(y1[i], y1[order])
-        xx2 = np.minimum(x2[i], x2[order])
-        yy2 = np.minimum(y2[i], y2[order])
-        w = np.maximum(0.0, xx2 - xx1 + 1)
-        h = np.maximum(0.0, yy2 - yy1 + 1)
-        inter = w * h
-        if dim == 3:
-            zz1 = np.maximum(z1[i], z1[order])
-            zz2 = np.minimum(z2[i], z2[order])
-            d = np.maximum(0.0, zz2 - zz1 + 1)
-            inter *= d
-
-        ovr = inter / (areas[i] + areas[order] - inter)
-        matches = np.argwhere(ovr > thresh)
-
-        match_n_ovs = box_n_ovs[order[matches]]
-        match_pc_facts = box_pc_facts[order[matches]]
-        match_patch_id = box_patch_id[order[matches]]
-        match_ov_facts = ovr[matches]
-        match_areas = areas[order[matches]]
-        match_scores = scores[order[matches]]
-
-        match_score_weights = match_ov_facts * match_areas * match_pc_facts
-        match_scores = match_scores * match_score_weights
-
-        n_expected_preds = n_ens * np.mean(match_n_ovs)
-        n_missing_preds = np.max((0, n_expected_preds - np.unique(match_patch_id).shape[0]))
-        denom = np.sum(match_score_weights) + n_missing_preds * np.mean(match_score_weights)
-        avg_score = np.sum(match_scores) / denom
-
-        avg_coords = [
-            np.sum(y1[order[matches]] * match_scores) / np.sum(match_scores),
-            np.sum(x1[order[matches]] * match_scores) / np.sum(match_scores),
-            np.sum(y2[order[matches]] * match_scores) / np.sum(match_scores),
-            np.sum(x2[order[matches]] * match_scores) / np.sum(match_scores),
-        ]
-        if dim == 3:
-            avg_coords.append(np.sum(z1[order[matches]] * match_scores) / np.sum(match_scores))
-            avg_coords.append(np.sum(z2[order[matches]] * match_scores) / np.sum(match_scores))
-
+        weights = iou[seed, members] * areas[members] * center_factors[members]
+        weighted_scores = scores[members] * weights
+        n_expected = n_ens * overlap_counts[members].mean()
+        n_missing = max(0.0, n_expected - len(np.unique(box_patch_id[members])))
+        avg_score = weighted_scores.sum() / (weights.sum() + n_missing * weights.mean())
         if avg_score > 0.01:
             keep_scores.append(avg_score)
-            keep_coords.append(avg_coords)
-
-        inds = np.where(ovr <= thresh)[0]
-        order = order[inds]
+            keep_coords.append(list((coords[members] * weighted_scores[:, None]).sum(0) / weighted_scores.sum()))
 
     return keep_scores, keep_coords
 
 
+def _contiguous_slice_run(occupied_slices, core_slice):
+    """(lo, hi) of the maximal run of consecutive occupied slices containing
+    core_slice. occupied_slices: 1D float array (unsorted, may repeat)."""
+    occ = np.unique(occupied_slices)
+    pos = int(np.searchsorted(occ, core_slice))
+    gaps = np.where(np.diff(occ) > 1)[0]  # run boundary after these positions
+    run_starts = np.concatenate([[0], gaps + 1])
+    run_ends = np.concatenate([gaps, [len(occ) - 1]])
+    k = int(np.searchsorted(run_starts, pos, side="right")) - 1
+    assert run_starts[k] <= pos <= run_ends[k]
+    return occ[run_starts[k]], occ[run_ends[k]]
+
+
 def nms_2to3D(dets, thresh):
-    """Cluster 2D slice detections into 3D cubes bounded at the first slice
-    'hole' away from the core (highest-scoring) slice."""
-    y1 = dets[:, 0]
-    x1 = dets[:, 1]
-    y2 = dets[:, 2]
-    x2 = dets[:, 3]
+    """Cluster 2D slice detections into 3D cubes.
+
+    Contract (reference ``predictor.py:710-773``): greedy by score; a cube's
+    members are the detections overlapping the seed (IoU > thresh, legacy +1
+    convention) whose slices form a contiguous run with the seed's slice —
+    the cube is cut at the first empty slice in either direction. The cube's
+    z extent is [min member slice - 1, max member slice + 1]; members in the
+    run are consumed, overlapping detections beyond the gap stay available.
+    """
+    coords = dets[:, :4]
     scores = dets[:, -2]
     slice_id = dets[:, -1]
+    iou = _legacy_iou_matrix(coords, dim=2)
 
-    areas = (x2 - x1 + 1) * (y2 - y1 + 1)
-    order = scores.argsort()[::-1]
-
-    keep = []
-    keep_z = []
-
-    while order.size > 0:
-        i = order[0]
-        xx1 = np.maximum(x1[i], x1[order])
-        yy1 = np.maximum(y1[i], y1[order])
-        xx2 = np.minimum(x2[i], x2[order])
-        yy2 = np.minimum(y2[i], y2[order])
-        w = np.maximum(0.0, xx2 - xx1 + 1)
-        h = np.maximum(0.0, yy2 - yy1 + 1)
-        inter = w * h
-        ovr = inter / (areas[i] + areas[order] - inter)
-        matches = np.argwhere(ovr > thresh)
-
-        slice_ids = slice_id[order[matches]]
-        core_slice = slice_id[int(i)]
-        upper_holes = [ii for ii in np.arange(core_slice, np.max(slice_ids)) if ii not in slice_ids]
-        lower_holes = [ii for ii in np.arange(np.min(slice_ids), core_slice) if ii not in slice_ids]
-        max_valid_slice_id = np.min(upper_holes) if len(upper_holes) > 0 else np.max(slice_ids)
-        min_valid_slice_id = np.max(lower_holes) if len(lower_holes) > 0 else np.min(slice_ids)
-        z_matches = matches[(slice_ids <= max_valid_slice_id) & (slice_ids >= min_valid_slice_id)]
-
-        z1 = np.min(slice_id[order[z_matches]]) - 1
-        z2 = np.max(slice_id[order[z_matches]]) + 1
-
-        keep.append(i)
-        keep_z.append([z1, z2])
-        order = np.delete(order, z_matches, axis=0)
+    keep, keep_z = [], []
+    consumed = np.zeros(len(scores), bool)
+    for seed in scores.argsort()[::-1]:
+        if consumed[seed]:
+            continue
+        overlapping = ~consumed & (iou[seed] > thresh)
+        lo, hi = _contiguous_slice_run(slice_id[overlapping], slice_id[seed])
+        members = overlapping & (slice_id >= lo) & (slice_id <= hi)
+        consumed |= members
+        keep.append(seed)
+        keep_z.append([slice_id[members].min() - 1, slice_id[members].max() + 1])
 
     return keep, keep_z
 
 
 def get_mirrored_patch_crops(patch_crops, org_img_shape):
-    """Mirror patch-crop coords for the 3 TTA transforms (y, x, y+x)."""
-    mirrored_patch_crops = []
-    mirrored_patch_crops.append(
-        [
-            [org_img_shape[2] - ii[1], org_img_shape[2] - ii[0], ii[2], ii[3]]
-            if len(ii) == 4
-            else [org_img_shape[2] - ii[1], org_img_shape[2] - ii[0], ii[2], ii[3], ii[4], ii[5]]
-            for ii in patch_crops
-        ]
-    )
-    mirrored_patch_crops.append(
-        [
-            [ii[0], ii[1], org_img_shape[3] - ii[3], org_img_shape[3] - ii[2]]
-            if len(ii) == 4
-            else [ii[0], ii[1], org_img_shape[3] - ii[3], org_img_shape[3] - ii[2], ii[4], ii[5]]
-            for ii in patch_crops
-        ]
-    )
-    mirrored_patch_crops.append(
-        [
-            [
-                org_img_shape[2] - ii[1],
-                org_img_shape[2] - ii[0],
-                org_img_shape[3] - ii[3],
-                org_img_shape[3] - ii[2],
-            ]
-            if len(ii) == 4
-            else [
-                org_img_shape[2] - ii[1],
-                org_img_shape[2] - ii[0],
-                org_img_shape[3] - ii[3],
-                org_img_shape[3] - ii[2],
-                ii[4],
-                ii[5],
-            ]
-            for ii in patch_crops
-        ]
-    )
-    return mirrored_patch_crops
+    """Patch-crop coords under the 3 mirror TTA transforms (y, x, y+x).
+
+    A flip along image axis a maps an interval [lo, hi) to
+    [extent - hi, extent - lo); z is never flipped.
+    """
+    y_ext, x_ext = org_img_shape[2], org_img_shape[3]
+
+    def reflect(crop, flip_y, flip_x):
+        y = [y_ext - crop[1], y_ext - crop[0]] if flip_y else [crop[0], crop[1]]
+        x = [x_ext - crop[3], x_ext - crop[2]] if flip_x else [crop[2], crop[3]]
+        return y + x + list(crop[4:])
+
+    return [
+        [reflect(crop, flip_y, flip_x) for crop in patch_crops]
+        for flip_y, flip_x in ((True, False), (False, True), (True, True))
+    ]

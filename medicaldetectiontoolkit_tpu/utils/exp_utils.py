@@ -28,6 +28,28 @@ import numpy as np
 import pandas as pd
 
 
+class ColorHandler(logging.StreamHandler):
+    """Console handler coloring records by severity (ANSI, TTY-only).
+
+    Parity with the reference's colored console logging
+    (``utils/exp_utils.py:281-346``): debug green, info plain,
+    warning/error red. Non-TTY streams get plain text.
+    """
+
+    _LEVEL_CODES = {logging.DEBUG: 32, logging.WARNING: 31, logging.ERROR: 31, logging.CRITICAL: 31}
+
+    def emit(self, record):
+        try:
+            msg = self.format(record)
+            code = self._LEVEL_CODES.get(record.levelno)
+            if code is not None and getattr(self.stream, "isatty", lambda: False)():
+                msg = f"\x1b[{code}m{msg}\x1b[0m"
+            self.stream.write(msg + self.terminator)
+            self.flush()
+        except Exception:
+            self.handleError(record)
+
+
 def get_logger(exp_dir):
     logger = logging.getLogger("medicaldetectiontoolkit_tpu")
     logger.setLevel(logging.DEBUG)
@@ -35,7 +57,7 @@ def get_logger(exp_dir):
         logger.removeHandler(hdlr)
     log_file = os.path.join(exp_dir, "exec.log")
     logger.addHandler(logging.FileHandler(log_file))
-    console = logging.StreamHandler(sys.stdout)
+    console = ColorHandler(sys.stdout)
     console.setFormatter(logging.Formatter("%(message)s"))
     logger.addHandler(console)
     logger.propagate = False
@@ -56,16 +78,30 @@ def _snapshot(src, dst):
         shutil.copy(src, dst)
 
 
+def model_source_file(model_name):
+    """models/ file defining a given model (retina_unet lives in retina_net.py)."""
+    return {"retina_unet": "retina_net.py"}.get(model_name, f"{model_name}.py")
+
+
 def prep_exp(dataset_path, exp_path, server_env=False, use_stored_settings=True, is_training=True):
     """Create/enter an experiment dir; snapshot configs + model sources.
 
     The exp dir carries everything needed to re-run the experiment:
     configs.py (experiment), default_configs.py (base config module), and the
-    selected model + backbone sources for provenance.
+    selected model + backbone sources. Under ``use_stored_settings`` (and
+    always at test time) the SNAPSHOTTED model/backbone are what actually
+    runs — ``build_model`` imports them via ``cf.model_source_path`` /
+    ``cf.backbone_source_path`` — so an exp dir reproduces its own run even
+    after the installed sources change (reference ``exp_utils.py:85-131``).
     """
     package_dir = os.path.dirname(os.path.dirname(os.path.realpath(__file__)))
     default_cfg_src = os.path.join(package_dir, "config.py")
 
+    def snapshot_model_sources(cf):
+        _snapshot(os.path.join(package_dir, "models", model_source_file(cf.model)), os.path.join(exp_path, "model.py"))
+        _snapshot(os.path.join(package_dir, "models", "backbone.py"), os.path.join(exp_path, "backbone.py"))
+
+    use_snapshot_sources = False
     if is_training:
         if not os.path.exists(exp_path):
             os.makedirs(os.path.join(exp_path, "plots"))
@@ -78,18 +114,22 @@ def prep_exp(dataset_path, exp_path, server_env=False, use_stored_settings=True,
             cf_file = import_module("cf", os.path.join(exp_path, "configs.py"))
             cf = cf_file.configs(server_env)
             if not os.path.isfile(os.path.join(exp_path, "model.py")):
-                _snapshot(os.path.join(package_dir, "models", f"{cf.model}.py"), os.path.join(exp_path, "model.py"))
-                _snapshot(os.path.join(package_dir, "models", "backbone.py"), os.path.join(exp_path, "backbone.py"))
+                snapshot_model_sources(cf)
+            use_snapshot_sources = True
         else:
             cf_file = import_module("cf", os.path.join(dataset_path, "configs.py"))
             cf = cf_file.configs(server_env)
-            _snapshot(os.path.join(package_dir, "models", f"{cf.model}.py"), os.path.join(exp_path, "model.py"))
-            _snapshot(os.path.join(package_dir, "models", "backbone.py"), os.path.join(exp_path, "backbone.py"))
+            snapshot_model_sources(cf)
             _snapshot(default_cfg_src, os.path.join(exp_path, "default_configs.py"))
             _snapshot(os.path.join(dataset_path, "configs.py"), os.path.join(exp_path, "configs.py"))
     else:
         cf_file = import_module("cf", os.path.join(exp_path, "configs.py"))
         cf = cf_file.configs(server_env)
+        use_snapshot_sources = True
+
+    if use_snapshot_sources and os.path.isfile(os.path.join(exp_path, "model.py")):
+        cf.model_source_path = os.path.join(exp_path, "model.py")
+        cf.backbone_source_path = os.path.join(exp_path, "backbone.py")
 
     cf.exp_dir = exp_path
     cf.test_dir = os.path.join(cf.exp_dir, "test")

@@ -124,3 +124,57 @@ def test_train_batches_and_patched_patient_prediction(synth_lidc, tmp_path, dim)
     ev = Evaluator(cf, _Log(), mode="val_patient")
     ev.evaluate_predictions([[results["boxes"], patient["pid"]]])
     assert ev.test_df is not None and len(ev.test_df) > 0
+
+    # mirror-TTA forward (test mode): all 4 aug variants contribute boxes
+    # with un-mirrored coords inside the original image bounds
+    tta_predictor = Predictor(cf, net, _Log(), mode="val")
+    tta_predictor.mode = "test"  # skip checkpoint-ranking setup, keep TTA path
+    tta_results = tta_predictor.data_aug_forward(patient)
+    shape = patient["original_img_shape"]
+    aug_ids = set()
+    for bl in tta_results["boxes"]:
+        for b in bl:
+            if b["box_type"] != "det":
+                continue
+            aug_ids.add(b["patch_id"].split("_")[1])
+            c = b["box_coords"]
+            assert c[2] >= c[0] and c[3] >= c[1]
+            assert c[0] >= -1e-6 and c[1] >= -1e-6
+            assert c[2] <= shape[2] + 1e-6 and c[3] <= shape[3] + 1e-6
+    if aug_ids:  # random tiny model may detect nothing; when it does, all 4 variants must appear
+        assert aug_ids == {"0", "1", "2", "3"}, aug_ids
+    gens["val_patient"].shutdown() if hasattr(gens["val_patient"], "shutdown") else None
+
+
+def test_n_3d_context_slices_in_channels(synth_lidc, tmp_path):
+    """2D loader with n_3D_context=1: train batches and patient/patch batches
+    carry each slice's z neighbors stacked into channels (3 channels here)."""
+    from experiments.lidc_exp import data_loader as dl
+
+    cf = lidc_like_cf(2, synth_lidc, tmp_path)
+    cf.n_3D_context = 1
+    cf.n_channels = 3  # (2*ctx+1) * 1 input channel
+    cf.merge_2D_to_3D_preds = False
+
+    gens = dl.get_train_generators(cf, _Log())
+    batch = next(gens["train"])
+    assert batch["data"].shape == (cf.batch_size, 3, *cf.patch_size)
+    gens["train"].shutdown()
+    gens["val_sampling"].shutdown()
+
+    patient = next(gens["val_patient"])
+    # synthetic patients are 48x48x16 -> patched (patch 32x32), z slice-wise
+    assert "patch_crop_coords" in patient
+    assert patient["data"].shape[1] == 3
+    assert patient["data"].shape[2:] == tuple(cf.patch_size)
+    # a patch at z-slice s must contain slices (s-1, s, s+1) of the volume
+    crops = patient["patch_crop_coords"]
+    vol = np.load(os.path.join(synth_lidc, f"{patient['pid']}_img.npy"))  # (z, y, x)
+    vol = np.transpose(vol, (1, 2, 0))  # (y, x, z)
+    mid = len(crops) // 2
+    c = crops[mid]
+    z = c[4]
+    want_center = vol[c[0] : c[1], c[2] : c[3], z]
+    np.testing.assert_allclose(patient["data"][mid, 1], want_center, rtol=1e-6)
+    if z > 0:
+        np.testing.assert_allclose(patient["data"][mid, 0], vol[c[0] : c[1], c[2] : c[3], z - 1], rtol=1e-6)

@@ -124,3 +124,40 @@ class TestMonitoring:
         assert "benign_ap" in metrics["train"] and "malignant_ap" in metrics["val"]
         assert "patient_auc" in metrics["val"]
         assert len(metrics["train"]["monitor_values"]) == 4
+
+
+def test_snapshot_reimport_round_trip(tmp_path, monkeypatch):
+    """--use_stored_settings / test mode must run the exp-dir SNAPSHOT of the
+    model source, not the installed one (reference tmp_model mechanism)."""
+    import sys
+    import inspect
+
+    from medicaldetectiontoolkit_tpu import models as model_registry
+    from medicaldetectiontoolkit_tpu.models import build_model
+
+    monkeypatch.setenv("MDT_MODEL", "retina_net")
+    exp_path = str(tmp_path / "exp")
+
+    saved_registry = dict(model_registry._REGISTRY)
+    saved_backbone = sys.modules.get("medicaldetectiontoolkit_tpu.models.backbone")
+    try:
+        cf = utils.prep_exp("experiments/toy_exp", exp_path, use_stored_settings=False, is_training=True)
+        assert os.path.isfile(os.path.join(exp_path, "model.py"))
+        assert os.path.isfile(os.path.join(exp_path, "backbone.py"))
+        assert not hasattr(cf, "model_source_path")  # fresh-settings training runs installed code
+
+        # mutate the snapshot so we can prove it wins at test time
+        with open(os.path.join(exp_path, "model.py"), "a") as f:
+            f.write("\nSNAPSHOT_MARKER = 'frozen'\n")
+
+        cf_test = utils.prep_exp("experiments/toy_exp", exp_path, use_stored_settings=True, is_training=False)
+        assert cf_test.model_source_path == os.path.join(exp_path, "model.py")
+        net = build_model(cf_test, _Log())
+        mod = sys.modules[type(net).__module__]
+        assert getattr(mod, "SNAPSHOT_MARKER", None) == "frozen"
+        assert os.path.samefile(inspect.getfile(type(net)), os.path.join(exp_path, "model.py"))
+    finally:
+        model_registry._REGISTRY.clear()
+        model_registry._REGISTRY.update(saved_registry)
+        if saved_backbone is not None:
+            sys.modules["medicaldetectiontoolkit_tpu.models.backbone"] = saved_backbone

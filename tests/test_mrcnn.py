@@ -201,6 +201,33 @@ def test_mrcnn_loss_decreases():
     assert np.median(rpn_losses[-4:]) < np.median(rpn_losses[:4])
 
 
+def test_get_coords_halo_ranking_and_clipping():
+    from medicaldetectiontoolkit_tpu.models.detection_unet import get_coords
+
+    # element 0: two components, the larger one touching the border
+    m = np.zeros((1, 16, 16), np.uint8)
+    m[0, 0:5, 0:5] = 1  # 25 voxels, at the corner
+    m[0, 10:12, 10:12] = 1  # 4 voxels
+    coords, comps = get_coords(m, n_components=5, dim=2)
+    assert comps[0].shape[0] == 2
+    # largest first; -1/+1 halo clipped to [0, extent]
+    np.testing.assert_array_equal(coords[0][0], [0, 0, 5, 5])
+    np.testing.assert_array_equal(coords[0][1], [9, 9, 12, 12])
+    # n_components caps the list
+    coords_capped, comps_capped = get_coords(m, n_components=1, dim=2)
+    assert len(coords_capped[0]) == 1 and comps_capped[0].shape[0] == 1
+
+    # empty mask -> empty outputs
+    coords_e, comps_e = get_coords(np.zeros((1, 8, 8), np.uint8), 3, 2)
+    assert len(coords_e[0]) == 0 and comps_e[0].shape[0] == 0
+
+    # 3D: z coords are [min, max+1] without halo, clipped to z extent
+    m3 = np.zeros((1, 16, 16, 6), np.uint8)
+    m3[0, 4:8, 4:8, 2:6] = 1
+    coords3, _ = get_coords(m3, 3, dim=3)
+    np.testing.assert_array_equal(coords3[0][0], [3, 3, 8, 8, 2, 6])
+
+
 @pytest.mark.slow
 def test_detection_unet_train_and_test():
     cf = make_config("detection_unet", dim=2)

@@ -73,3 +73,76 @@ print('DP-MATCH-OK')
     res = run_cpu_subprocess(code)
     assert res.returncode == 0, res.stderr[-2000:]
     assert "DP-MATCH-OK" in res.stdout
+
+
+@pytest.mark.slow
+def test_sharded_inference_patched_patient_matches_single_device():
+    """Test-mode Predictor over a synthetic-LIDC patched patient: with
+    cf.n_data_parallel=8 the sharded forward must produce the same boxes
+    (scores match to float-reduction-order tolerance, ~1e-6)."""
+    code = """
+import os, sys, pickle
+import numpy as np
+sys.path.insert(0, os.getcwd())
+
+from experiments.lidc_exp.preprocessing import generate_synthetic_lidc
+from experiments.lidc_exp import data_loader as dl
+from medicaldetectiontoolkit_tpu.models import build_model
+from medicaldetectiontoolkit_tpu.predictor import Predictor
+from medicaldetectiontoolkit_tpu.utils.exp_utils import save_checkpoint
+from medicaldetectiontoolkit_tpu.testing import make_config
+
+import tempfile
+tmp = tempfile.mkdtemp()
+
+class L:
+    def info(self, *a, **k): pass
+    def warning(self, *a, **k): pass
+
+synth = os.path.join(tmp, 'data'); os.makedirs(synth)
+generate_synthetic_lidc(synth, n_patients=2, shape=(16, 48, 48))
+
+cf = make_config(model='retina_net', dim=2, patch_size=[32, 32], batch_size=8)
+cf.pp_data_path = synth; cf.pp_test_data_path = synth
+cf.input_df_name = 'info_df.pickle'
+cf.exp_dir = tmp; cf.fold_dir = os.path.join(tmp, 'fold_0'); os.makedirs(cf.fold_dir)
+cf.fold = 0; cf.hold_out_test_set = True; cf.created_fold_id_pickle = False
+cf.select_prototype_subset = None; cf.merge_2D_to_3D_preds = False
+cf.n_3D_context = None; cf.test_aug = False; cf.test_n_epochs = 1
+cf.max_test_patients = 'all'; cf.class_specific_seg_flag = False
+cf.val_mode = 'val_patient'; cf.head_classes = 3
+cf.class_dict = {1: 'benign', 2: 'malignant'}
+
+net = build_model(cf, L())
+net.initialize(seed=3)
+save_checkpoint(os.path.join(cf.fold_dir, '1_best_checkpoint'), {'params': net.params, 'epoch': 1})
+np.save(os.path.join(cf.fold_dir, 'epoch_ranking'), np.array([1]))
+
+gen = dl.get_test_generator(cf, L())
+patient = next(gen['test'])
+assert 'patch_crop_coords' in patient, patient['data'].shape
+
+def boxes_of(results):
+    # conv reduction order differs between shardings -> scores agree to ~1e-6;
+    # coords are rounded on-device so they must match exactly
+    out = []
+    for bl in results['boxes']:
+        out.append(sorted([(str(b['box_type']), tuple(np.asarray(b['box_coords'], float).round(2)),
+                            round(float(b.get('box_score', 0)), 4)) for b in bl]))
+    return out
+
+cf.n_data_parallel = None
+p1 = Predictor(cf, net, L(), mode='test')
+r1 = p1.predict_patient(dict(patient))
+
+cf.n_data_parallel = 8
+p8 = Predictor(cf, net, L(), mode='test')
+r8 = p8.predict_patient(dict(patient))
+
+assert boxes_of(r1) == boxes_of(r8), 'sharded boxes differ'
+np.testing.assert_array_equal(np.asarray(r1['seg_preds']), np.asarray(r8['seg_preds']))
+print('SHARDED-INFER-OK', len(r1['boxes']))
+"""
+    res = run_cpu_subprocess(code)
+    assert res.returncode == 0, res.stderr[-3000:]
+    assert "SHARDED-INFER-OK" in res.stdout

@@ -106,6 +106,60 @@ def test_roi_ap_parity(ref_evaluator, trial):
         np.testing.assert_allclose(ours, theirs, rtol=1e-12)
 
 
+class _Cf:
+    def __init__(self):
+        self.ap_match_ious = [0.1, 0.5]
+        self.class_dict = {1: "a", 2: "b"}
+        self.fold = 0
+
+
+class _Log:
+    def info(self, *a, **k):
+        pass
+
+
+def _random_boxes_list(rng, n_elements, dim=2):
+    out = []
+    for _ in range(n_elements):
+        boxes = []
+        for _ in range(rng.randint(0, 8)):
+            lo = rng.rand(dim) * 100
+            hi = lo + rng.rand(dim) * 40 + 1
+            coords = np.concatenate([lo[:2], hi[:2]] + ([lo[2:], hi[2:]] if dim == 3 else []))
+            if rng.rand() < 0.4:
+                boxes.append({"box_type": "gt", "box_label": rng.randint(1, 3), "box_coords": coords})
+            else:
+                boxes.append(
+                    {
+                        "box_type": "det",
+                        "box_pred_class_id": rng.randint(1, 3),
+                        "box_score": float(rng.rand()),
+                        "box_coords": coords,
+                    }
+                )
+        out.append(boxes)
+    return out
+
+
+@pytest.mark.parametrize("trial", range(3))
+def test_evaluate_predictions_matching_parity(ref_evaluator, trial):
+    """Full evaluate_predictions df equality on random det/gt lists —
+    pins the tp/fp/fn matching core independently of implementation."""
+    rng = np.random.RandomState(40 + trial)
+    results_list = [
+        [_random_boxes_list(rng, 1), [f"pid{p}"]] for p in range(6)
+    ]
+    cf = _Cf()
+    theirs = ref_evaluator.Evaluator(cf, _Log(), mode="val_patient")
+    theirs.evaluate_predictions([[r[0], r[1][0]] for r in results_list])
+    ours = our_evaluator.Evaluator(cf, _Log(), mode="val_patient")
+    ours.evaluate_predictions([[r[0], r[1][0]] for r in results_list])
+    tdf = theirs.test_df.reset_index(drop=True)
+    odf = ours.test_df.reset_index(drop=True)
+    for col in ["pred_score", "class_label", "pred_class", "pid", "det_type", "match_iou"]:
+        np.testing.assert_array_equal(np.asarray(odf[col]), np.asarray(tdf[col]), err_msg=col)
+
+
 def test_mirrored_patch_crops_parity(ref_predictor):
     crops = [[0, 128, 0, 128], [64, 192, 32, 160], [0, 128, 0, 128, 5, 37]]
     crops2d = [c for c in crops if len(c) == 4]

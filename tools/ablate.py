@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""Ablation timing of the LIDC 3D train step: where do the milliseconds go?
+
+Times isolated pieces (backbone fwd, fwd+bwd, full step, detection refine)
+at the bench geometry so layout/fusion work can be targeted with evidence.
+Run on the chip: `python tools/ablate.py [variant ...]`. Variants:
+
+  full        full jitted train step (fw+bw+adam+anchor matching+losses)
+  fwd         predict forward (backbone + heads)
+  bb_fwd      backbone forward only
+  bb_bwd      backbone forward+backward (grad wrt params of a sum)
+  heads       heads on frozen random feature maps
+  detect      detection refinement (box decode + NMS + top-k)
+
+Env: MDT_ABLATE_BATCH (4), MDT_ABLATE_STEPS (10), MDT_ABLATE_SF (18 start
+filts), MDT_ABLATE_DTYPE (bfloat16), MDT_ABLATE_REMAT (auto).
+"""
+
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/mdt_tpu_jax_cache")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def _timed(fn, *args, n=None, name=""):
+    import jax
+
+    n = n or int(os.environ.get("MDT_ABLATE_STEPS", 10))
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t_second = time.perf_counter() - t0  # post-compile single step
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n
+    print(f"{name:>12}: {dt * 1e3:8.1f} ms/step   (single warm: {t_second * 1e3:.1f} ms)", flush=True)
+    return dt
+
+
+def main(variants):
+    import jax
+    import jax.numpy as jnp
+
+    from medicaldetectiontoolkit_tpu.models import base as model_base
+    from medicaldetectiontoolkit_tpu.models import build_model
+    from medicaldetectiontoolkit_tpu.testing import make_batch, make_config
+
+    class _Log:
+        def info(self, *a, **k):
+            pass
+
+    bs = int(os.environ.get("MDT_ABLATE_BATCH", 4))
+    sf = int(os.environ.get("MDT_ABLATE_SF", 18))
+    cf = make_config(
+        model="retina_unet", dim=3, patch_size=[128, 128, 64],
+        start_filts=sf, end_filts=sf * 2, batch_size=bs,
+    )
+    cf.n_rpn_features = 64
+    cf.pre_nms_limit = 50000
+    cf.model_max_instances_per_batch_element = 30
+    cf.rpn_train_anchors_per_image = 300
+    cf.compute_dtype = os.environ.get("MDT_ABLATE_DTYPE", "bfloat16")
+    if os.environ.get("MDT_ABLATE_REMAT"):
+        cf.use_remat = os.environ["MDT_ABLATE_REMAT"] == "1"
+
+    net = build_model(cf, _Log())
+    net.initialize(seed=0)
+    batch = make_batch(cf)
+    img = model_base.image_to_device(batch["data"])
+    gt_boxes, gt_ids, gt_valid = model_base.pad_gt_boxes(
+        batch["bb_target"], batch["roi_labels"], img.shape[0], cf.dim, cf.max_gt_boxes
+    )
+    seg = model_base.seg_to_device(batch["seg"])
+    rng = jax.random.PRNGKey(0)
+    lr = jnp.float32(1e-4)
+    params, opt_state = net.params, net.opt_state
+
+    print(f"batch={bs} sf={sf} dtype={cf.compute_dtype} remat={cf.use_remat}", flush=True)
+
+    if "full" in variants:
+        state = {"p": params, "o": opt_state}  # the step donates both buffers
+
+        def full():
+            out = net._train_step_fn(state["p"], state["o"], rng, lr, img, gt_boxes, gt_ids, gt_valid, seg)
+            state["p"], state["o"] = out[0], out[1]
+            return out[2]["loss"]
+
+        _timed(full, name="full")
+        params, opt_state = state["p"], state["o"]
+
+    if "fwd" in variants:
+        fwd = jax.jit(lambda p, x: net._predict(p, x))
+        _timed(fwd, params, img, name="fwd")
+
+    if "bb_fwd" in variants or "bb_bwd" in variants:
+        from medicaldetectiontoolkit_tpu.models import base as mbase
+        from medicaldetectiontoolkit_tpu.models.backbone import FPN
+
+        fpn = FPN(
+            dim=cf.dim, n_channels=cf.n_channels, start_filts=cf.start_filts,
+            end_filts=cf.end_filts, res_architecture=cf.res_architecture,
+            norm=cf.norm, relu=cf.relu, sixth_pooling=cf.sixth_pooling,
+            operate_stride1=True, weight_init=cf.weight_init,
+            dtype=jnp.bfloat16 if cf.compute_dtype == "bfloat16" else jnp.float32,
+            remat=mbase.resolve_remat(cf),
+        )
+        fpn_params = jax.jit(fpn.init)(jax.random.PRNGKey(0), img)["params"]
+
+        if "bb_fwd" in variants:
+            bb = jax.jit(lambda p, x: [jnp.sum(o.astype(jnp.float32)) for o in fpn.apply({"params": p}, x)])
+            _timed(bb, fpn_params, img, name="bb_fwd")
+
+        if "bb_bwd" in variants:
+            def bb_loss(p, x):
+                return sum(jnp.sum(o.astype(jnp.float32)) for o in fpn.apply({"params": p}, x))
+
+            bbg = jax.jit(lambda p, x: jax.grad(bb_loss)(p, x))
+            _timed(bbg, fpn_params, img, name="bb_bwd")
+
+    if "detect" in variants:
+        heads = net._predict_fn(params, img)
+        jax.block_until_ready(heads[0])
+        _timed(lambda: net._detect_fn(*heads), name="detect")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:] or ["full", "fwd", "bb_fwd", "bb_bwd", "detect"])
