@@ -131,6 +131,64 @@ def main(variants):
         jax.block_until_ready(heads[0])
         _timed(lambda: net._detect_fn(*heads), name="detect")
 
+    if "loss_fwd" in variants:
+        lf = jax.jit(
+            lambda p, r: net._losses_and_outputs(p, r, img, gt_boxes, gt_ids, gt_valid, seg)[0]
+        )
+        _timed(lf, params, rng, name="loss_fwd")
+
+    if "loss_bwd" in variants:
+        lb = jax.jit(
+            lambda p, r: jax.grad(
+                lambda q: net._losses_and_outputs(q, r, img, gt_boxes, gt_ids, gt_valid, seg)[0]
+            )(p)
+        )
+        _timed(lb, params, rng, name="loss_bwd")
+
+    if "match" in variants:
+        # anchor matching + target building alone (no network)
+        from medicaldetectiontoolkit_tpu.ops import matching as match_ops
+
+        neg_iou = 0.1 if cf.dim == 2 else 0.01
+        std = jnp.asarray(cf.rpn_bbox_std_dev, jnp.float32)
+
+        def run_match(r, gb, gi, gv):
+            rngs = jax.random.split(r, gb.shape[0])
+            return jax.vmap(
+                lambda rr, b, i, v: match_ops.gt_anchor_matching(
+                    rr, net.anchors, b, i, v, cf.anchor_matching_iou, neg_iou,
+                    cf.rpn_train_anchors_per_image, std,
+                )
+            )(rngs, gb, gi, gv)
+
+        m = jax.jit(run_match)
+        _timed(m, rng, gt_boxes, gt_ids, gt_valid, name="match")
+
+    if "seg" in variants:
+        from medicaldetectiontoolkit_tpu.ops import losses as loss_ops
+
+        fake_logits = jnp.zeros(img.shape[:-1] + (cf.num_seg_classes,), jnp.float32)
+
+        def seg_loss(logits, s):
+            logits_cf = jnp.moveaxis(logits, -1, 1)
+            probs = jax.nn.softmax(logits_cf, axis=1)
+            onehot = loss_ops.one_hot_channels(s, cf.num_seg_classes)
+            return (1.0 - loss_ops.batch_dice(probs, onehot)) + loss_ops.weighted_ce(logits_cf, s)
+
+        sl = jax.jit(lambda lg, s: jax.value_and_grad(seg_loss)(lg, s))
+        _timed(sl, fake_logits, seg, name="seg")
+
+    if "adam" in variants:
+        grads = jax.tree_util.tree_map(jnp.ones_like, params)
+
+        def adam(g, o, p):
+            upd, o2 = net._optimizer.update(g, o, p)
+            upd = jax.tree_util.tree_map(lambda u: u * lr, upd)
+            return jax.tree_util.tree_map(lambda a, u: a + u, p, upd), o2
+
+        ad = jax.jit(adam)
+        _timed(ad, grads, opt_state, params, name="adam")
+
 
 if __name__ == "__main__":
     main(sys.argv[1:] or ["full", "fwd", "bb_fwd", "bb_bwd", "detect"])
