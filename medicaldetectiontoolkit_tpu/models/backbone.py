@@ -153,12 +153,23 @@ def maybe_remat(cls, remat: bool):
     return wrapped
 
 
-def res_stage(x, planes, n_blocks, stride, dim, norm, relu, weight_init, dtype, remat=False):
-    """First (strided, projected) block + scanned identity blocks.
+def res_stage(x, planes, n_blocks, stride, dim, norm, relu, weight_init, dtype, remat=False,
+              stage_mode="unroll"):
+    """First (strided, projected) block + identity blocks.
 
     With ``remat``, block activations are rematerialized in the backward pass
     (jax.checkpoint) — the standard TPU trade of FLOPs for HBM, needed to fit
     3D volumes at training batch sizes.
+
+    ``stage_mode`` selects how the identity blocks execute:
+      * "scan"   — rolled ``nn.scan`` with stacked params: one block body to
+        compile (fastest through the remote TPU compile service) but the
+        while-loop accumulates stacked param grads via dynamic-update-slice
+        every iteration plus per-iteration relayout copies;
+      * "unroll" — ``nn.scan`` fully unrolled: same stacked param tree (and
+        checkpoint layout) and one-body trace, straight-line device code;
+      * "loop"   — plain Python loop, per-block param subtrees (no stacked
+        axis at all); trace and param names differ from scan/unroll.
     """
     first = maybe_remat(ResBlock, remat)
     x = first(
@@ -166,14 +177,23 @@ def res_stage(x, planes, n_blocks, stride, dim, norm, relu, weight_init, dtype, 
         weight_init=weight_init, dtype=dtype,
     )(x)
     if n_blocks > 1:
-        body = maybe_remat(_RepeatedResBlock, remat)
-        scanned = nn.scan(
-            body,
-            variable_axes={"params": 0},
-            split_rngs={"params": True},
-            length=n_blocks - 1,
-        )(dim=dim, planes=planes, norm=norm, relu=relu, weight_init=weight_init, dtype=dtype)
-        x, _ = scanned(x, None)
+        if stage_mode == "loop":
+            blk = maybe_remat(ResBlock, remat)
+            for _ in range(n_blocks - 1):
+                x = blk(
+                    dim=dim, planes=planes, norm=norm, relu=relu,
+                    weight_init=weight_init, dtype=dtype,
+                )(x)
+        else:
+            body = maybe_remat(_RepeatedResBlock, remat)
+            scanned = nn.scan(
+                body,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                length=n_blocks - 1,
+                unroll=(n_blocks - 1) if stage_mode == "unroll" else 1,
+            )(dim=dim, planes=planes, norm=norm, relu=relu, weight_init=weight_init, dtype=dtype)
+            x, _ = scanned(x, None)
     return x
 
 
@@ -220,6 +240,8 @@ class FPN(nn.Module):
     dtype: object = jnp.float32
     # rematerialize stage activations in the backward pass (fit 3D volumes)
     remat: bool = False
+    # identity-block execution: "scan" | "unroll" | "loop" (see res_stage)
+    stage_mode: str = "unroll"
 
     @nn.compact
     def __call__(self, x):
@@ -229,7 +251,7 @@ class FPN(nn.Module):
         kw = dict(dim=d, norm=self.norm, relu=self.relu, weight_init=self.weight_init, dtype=self.dtype)
         bkw = dict(
             dim=d, norm=self.norm, relu=self.relu, weight_init=self.weight_init, dtype=self.dtype,
-            remat=self.remat,
+            remat=self.remat, stage_mode=self.stage_mode,
         )
         stem_stride = (2, 2, 1) if d == 3 else 2
         Stem = maybe_remat(ConvND, self.remat)
@@ -296,4 +318,5 @@ def fpn_from_cf(cf):
         operate_stride1=cf.operate_stride1,
         weight_init=cf.weight_init,
         dtype=getattr(cf, "compute_dtype", jnp.float32),
+        stage_mode=getattr(cf, "stage_mode", "unroll"),
     )

@@ -107,8 +107,12 @@ def compact_anchor_indices(matches, neg_sel, max_pos: int, max_neg: int):
     import jax.numpy as jnp
     import jax
 
+    from medicaldetectiontoolkit_tpu.ops import topk as topk_ops
+
     def topk_mask(mask, k):
-        vals, idx = jax.lax.top_k(mask.astype(jnp.int32), k)
+        # monitoring-only selection: stochastic_top_k avoids the full-anchor
+        # sort lax.top_k lowers to (2 x 10 ms/step at 3D anchor counts)
+        vals, idx = topk_ops.stochastic_top_k(mask.astype(jnp.float32), k)
         return idx, vals > 0
 
     pos_idx, pos_valid = jax.vmap(lambda m: topk_mask(m > 0, max_pos))(matches)

@@ -137,21 +137,23 @@ class DetectionUNet(base.Detector):
 
     # ---- device fns ----------------------------------------------------- #
 
-    def _seg_loss(self, seg_logits_cf, seg):
+    def _seg_loss(self, seg_logits, seg):
+        """dice / wce / dice_wce on channel-LAST logits (fused, no transpose)."""
         cf = self.cf
+        dice, ce = loss_ops.fused_seg_loss(
+            seg_logits, seg, cf.num_seg_classes,
+            false_positive_weight=float(cf.fp_dice_weight), class_weights=cf.wce_weights,
+        )
         loss = jnp.float32(0.0)
         if cf.seg_loss_mode in ("dice", "dice_wce"):
-            probs = jax.nn.softmax(seg_logits_cf, axis=1)
-            onehot = loss_ops.one_hot_channels(seg, cf.num_seg_classes)
-            loss = loss + 1.0 - loss_ops.batch_dice(probs, onehot, false_positive_weight=float(cf.fp_dice_weight))
+            loss = loss + dice
         if cf.seg_loss_mode in ("wce", "dice_wce"):
-            loss = loss + loss_ops.weighted_ce(seg_logits_cf, seg, cf.wce_weights)
+            loss = loss + ce
         return loss
 
     def _losses(self, params, img, seg):
         seg_logits = self.module.apply({"params": params}, img)
-        seg_logits_cf = jnp.moveaxis(seg_logits, -1, 1)
-        loss = self._seg_loss(seg_logits_cf, seg)
+        loss = self._seg_loss(seg_logits, seg)
         smax = jax.nn.softmax(seg_logits, axis=-1)
         return loss, smax
 

@@ -47,6 +47,7 @@ from medicaldetectiontoolkit_tpu.ops import losses as loss_ops
 from medicaldetectiontoolkit_tpu.ops import matching as match_ops
 from medicaldetectiontoolkit_tpu.ops import nms as nms_ops
 from medicaldetectiontoolkit_tpu.ops import roi_align as roi_ops
+from medicaldetectiontoolkit_tpu.ops import roi_align_pallas as roi_pallas_ops
 
 
 # ---------------------------------------------------------------------- #
@@ -221,9 +222,12 @@ def pyramid_roi_align(feature_maps, boxes_norm, batch_ix, pool_size, pyramid_lev
 
     boxes_norm: (R, 2*dim) normalized; batch_ix: (R,) int32.
     Level = clamp(round(4 + log2(sqrt(h*w))), first, last); with a 5th level,
-    rois with h*w > 0.65 go to P6. Fixed-shape: every roi is aligned against
-    every level and the assigned level's crop is selected by mask — no
-    dynamic partitions.
+    rois with h*w > 0.65 go to P6.
+
+    Dispatch: on TPU backends the level-routed Pallas kernel streams only the
+    assigned level's rows (``ops/roi_align_pallas.py``); elsewhere the XLA
+    formulation aligns every roi against every level and selects by mask.
+    Both are fixed-shape; gradients flow to the feature maps only.
     """
     h = boxes_norm[:, 2] - boxes_norm[:, 0]
     w = boxes_norm[:, 3] - boxes_norm[:, 1]
@@ -232,13 +236,10 @@ def pyramid_roi_align(feature_maps, boxes_norm, batch_ix, pool_size, pyramid_lev
     roi_level = jnp.clip(roi_level, pyramid_levels[0], pyramid_levels[-1])
     if len(pyramid_levels) == 5:
         roi_level = jnp.where(hw > 0.65, 5, roi_level)
-
-    pooled = None
-    for level_ix, level in enumerate(pyramid_levels):
-        crop = roi_ops.roi_align(feature_maps[level_ix], boxes_norm, batch_ix, tuple(pool_size))
-        sel = (roi_level == level).reshape((-1,) + (1,) * (crop.ndim - 1))
-        pooled = jnp.where(sel, crop, 0.0) if pooled is None else pooled + jnp.where(sel, crop, 0.0)
-    return pooled
+    levels_idx = roi_level - pyramid_levels[0]
+    return roi_pallas_ops.pyramid_roi_align(
+        list(feature_maps), boxes_norm, batch_ix, levels_idx, tuple(pool_size)
+    )
 
 
 def proposal_layer(rpn_probs_fg, rpn_deltas, anchors, cf, proposal_count: int):
@@ -627,11 +628,7 @@ class MaskRCNNDetector(base.Detector):
             "mrcnn_mask_loss": mask_loss,
         }
         if seg_logits is not None:
-            seg_logits_cf = jnp.moveaxis(seg_logits, -1, 1)
-            seg_probs = jax.nn.softmax(seg_logits_cf, axis=1)
-            seg_onehot = loss_ops.one_hot_channels(seg, cf.num_seg_classes)
-            seg_dice = 1.0 - loss_ops.batch_dice(seg_probs, seg_onehot)
-            seg_ce = loss_ops.weighted_ce(seg_logits_cf, seg)
+            seg_dice, seg_ce = loss_ops.fused_seg_loss(seg_logits, seg, cf.num_seg_classes)
             loss = loss + (seg_dice + seg_ce) / 2.0
             monitor["seg_dice_loss"] = seg_dice
             monitor["loss"] = loss

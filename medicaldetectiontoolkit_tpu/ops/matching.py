@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from medicaldetectiontoolkit_tpu.ops import boxes as box_ops
+from medicaldetectiontoolkit_tpu.ops import topk as topk_ops
 
 
 @functools.partial(jax.jit, static_argnames=("max_pos",))
@@ -64,20 +65,47 @@ def gt_anchor_matching(
         anchor's argmax GT; only rows with matches > 0 are meaningful.
     """
     A = anchors.shape[0]
+    G = gt_boxes.shape[0]
     any_gt = jnp.any(gt_valid)
 
-    overlaps = box_ops.pairwise_iou(anchors, gt_boxes)  # (A, G)
-    overlaps = jnp.where(gt_valid[None, :], overlaps, -1.0)
+    # Chunked GT processing instead of materializing the full (A, G) overlap
+    # matrix: at 3D anchor counts (~674k) the (A, G) intermediates cost
+    # ~350 MB each and the argmax/max/argmax-0 reductions re-read them
+    # (measured 55 ms/step). A statically-unrolled loop over small GT chunks
+    # keeps every intermediate at (A, chunk) — XLA fuses the IoU chain into
+    # the reductions — with no while-loop iteration overhead. Reduction
+    # semantics are identical: strict `>` keeps the FIRST maximal index,
+    # like jnp.argmax.
+    chunk = min(8, G)
+    run_max = jnp.full((A,), -jnp.inf, jnp.float32)
+    run_arg = jnp.zeros((A,), jnp.int32)
+    gt_best_parts = []
+    for g0 in range(0, G, chunk):
+        cols = box_ops.pairwise_iou(anchors, gt_boxes[g0 : g0 + chunk])  # (A, c)
+        cols = jnp.where(gt_valid[None, g0 : g0 + chunk], cols, -1.0)
+        gt_best_parts.append(jnp.argmax(cols, axis=0))  # best anchor per GT
+        cmax = jnp.max(cols, axis=1)
+        carg = g0 + jnp.argmax(cols, axis=1).astype(jnp.int32)
+        better = cmax > run_max
+        run_max = jnp.where(better, cmax, run_max)
+        run_arg = jnp.where(better, carg, run_arg)
+    anchor_iou_max, anchor_iou_argmax = run_max, run_arg
+    gt_best_anchor = jnp.concatenate(gt_best_parts)
 
-    anchor_iou_argmax = jnp.argmax(overlaps, axis=1)  # (A,)
-    anchor_iou_max = jnp.max(overlaps, axis=1)
-    matched_class = gt_class_ids[anchor_iou_argmax].astype(jnp.int32)
+    # tiny-table lookups indexed by (A,) vectors: TPU lowers these gathers
+    # abysmally (36 ms for gt_class_ids[argmax], 18 ms for gt_boxes[argmax]
+    # at 674k anchors — measured round 2); a one-hot contraction onto the MXU
+    # is exact (0/1 weights select single rows) and ~free at (A, G) x (G, ...)
+    # HIGHEST precision: the default TPU matmul runs bf16 passes, which would
+    # round the selected values; one-hot selection must be exact
+    onehot = (anchor_iou_argmax[:, None] == jnp.arange(G)[None, :]).astype(jnp.float32)
+    _select = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+    matched_class = jnp.round(_select(onehot, gt_class_ids.astype(jnp.float32))).astype(jnp.int32)
 
     # 1. negatives below threshold (with no valid GT, everything is negative)
     matches = jnp.where(anchor_iou_max < neg_iou_threshold, -1, 0).astype(jnp.int32)
 
     # 2. force-match each valid GT's best anchor (scatter; invalid GTs dropped)
-    gt_best_anchor = jnp.argmax(overlaps, axis=0)  # (G,)
     scatter_ix = jnp.where(gt_valid, gt_best_anchor, A)  # A = out of range -> dropped
     matches = matches.at[scatter_ix].set(gt_class_ids.astype(jnp.int32), mode="drop")
 
@@ -85,20 +113,21 @@ def gt_anchor_matching(
     matches = jnp.where(anchor_iou_max >= pos_iou_threshold, matched_class, matches)
     matches = jnp.where(any_gt, matches, -1)
 
-    # 4. random positive subsampling to max_pos // 2 (top-k of random keys —
-    #    a full argsort over ~1e5-1e6 anchors is needlessly expensive)
+    # 4. random positive subsampling to max_pos // 2 (top-k of random keys;
+    #    stochastic_top_k avoids the full 674k-anchor sort lax.top_k costs)
     pos = matches > 0
     rand = jax.random.uniform(rng, (A,))
     pos_rank_key = jnp.where(pos, rand, jnp.inf)
     k = max(max_pos // 2, 1)
-    neg_vals, keep_idx = jax.lax.top_k(-pos_rank_key, min(k, A))
+    neg_vals, keep_idx = topk_ops.stochastic_top_k(-pos_rank_key, min(k, A))
     keep_valid = jnp.isfinite(neg_vals)
     keep_mask = jnp.zeros((A,), bool).at[jnp.where(keep_valid, keep_idx, A)].set(True, mode="drop")
     keep_pos = pos & keep_mask
     matches = jnp.where(pos & ~keep_pos, 0, matches)
 
-    # 5. delta targets toward argmax GT, normalized
-    target_gt = gt_boxes[anchor_iou_argmax]
+    # 5. delta targets toward argmax GT, normalized (one-hot contraction —
+    #    see matched_class above for why not a gather)
+    target_gt = _select(onehot, gt_boxes.astype(jnp.float32))
     safe_anchors = anchors.astype(jnp.float32)
     # guard degenerate padded GTs against log(0)/div0 — rows are masked anyway
     safe_gt = jnp.where((matches > 0)[:, None], target_gt, safe_anchors)

@@ -155,3 +155,41 @@ class TestLosses:
         a = float(L.weighted_ce(logits, labels))
         b = float(L.weighted_ce(logits, labels, [1.0, 1.0, 1.0]))
         np.testing.assert_allclose(a, b, rtol=1e-5)
+
+
+class TestFusedSegLoss:
+    """fused_seg_loss == batch_dice/weighted_ce on the channel-first transpose."""
+
+    def _reference(self, logits_last, seg, n_classes, fpw=1.0, weights=None):
+        import jax.numpy as jnp
+        logits_cf = jnp.moveaxis(jnp.asarray(logits_last), -1, 1)
+        probs = jax.nn.softmax(logits_cf, axis=1)
+        onehot = L.one_hot_channels(jnp.asarray(seg), n_classes)
+        dice = 1.0 - L.batch_dice(probs, onehot, false_positive_weight=fpw)
+        ce = L.weighted_ce(logits_cf, jnp.asarray(seg), weights)
+        return float(dice), float(ce)
+
+    def test_matches_composition_2d(self, rng):
+        logits = rng.randn(2, 16, 16, 3).astype(np.float32)
+        seg = rng.randint(0, 3, (2, 1, 16, 16)).astype(np.int32)
+        dice, ce = L.fused_seg_loss(jnp.asarray(logits), jnp.asarray(seg), 3)
+        want_dice, want_ce = self._reference(logits, seg, 3)
+        np.testing.assert_allclose(float(dice), want_dice, rtol=1e-5)
+        np.testing.assert_allclose(float(ce), want_ce, rtol=1e-5)
+
+    def test_matches_composition_3d_weighted(self, rng):
+        logits = rng.randn(2, 8, 8, 4, 2).astype(np.float32)
+        seg = rng.randint(0, 2, (2, 1, 8, 8, 4)).astype(np.int32)
+        dice, ce = L.fused_seg_loss(jnp.asarray(logits), jnp.asarray(seg), 2,
+                                    false_positive_weight=10.0, class_weights=[0.3, 1.7])
+        want_dice, want_ce = self._reference(logits, seg, 2, fpw=10.0, weights=[0.3, 1.7])
+        np.testing.assert_allclose(float(dice), want_dice, rtol=1e-5)
+        np.testing.assert_allclose(float(ce), want_ce, rtol=1e-5)
+
+    def test_bf16_logits_accepted(self, rng):
+        logits = rng.randn(1, 8, 8, 3).astype(np.float32)
+        seg = rng.randint(0, 3, (1, 1, 8, 8)).astype(np.int32)
+        d32, c32 = L.fused_seg_loss(jnp.asarray(logits), jnp.asarray(seg), 3)
+        dbf, cbf = L.fused_seg_loss(jnp.asarray(logits, jnp.bfloat16), jnp.asarray(seg), 3)
+        np.testing.assert_allclose(float(dbf), float(d32), rtol=2e-2, atol=1e-2)
+        np.testing.assert_allclose(float(cbf), float(c32), rtol=2e-2, atol=1e-2)
