@@ -15,6 +15,20 @@ throughput for the same model/batch. The reference publishes no numbers
 (fw+bw ~3.3 s / 8-patch batch for 3D ResNet50-FPN + heads on one V100 at
 fp32 — consistent with the reference's ~30 min/epoch-of-200-batches era
 schedules). The north-star target is >= 5x that, i.e. vs_baseline >= 5.
+
+FLOP cross-check of the 2.4 patches/s anchor (round 2): XLA cost analysis of
+this exact train step measures 1.09 TFLOP/patch (4.34 TFLOP at batch 4 —
+fw+bw+optimizer for the same geometry; see tools/probe.py `cost`). The torch
+0.4.1 reference runs fp32 (no AMP in 2018-era code), so 2.4 patches/s
+corresponds to 2.6 TFLOP/s = 17% of a V100's 15.7 TFLOP/s fp32 peak —
+mid-range for cuDNN-era 3D convolutions at 18-36 channels (which map poorly
+onto cuDNN's implicit-GEMM tiles), and GENEROUS to the reference overall: it
+additionally pays host-side NumPy anchor matching over ~7e5 anchors per batch
+element per step (SURVEY 3.3's top host hotspot) and mid-forward
+device<->host round-trips, neither of which this estimate charges it for.
+On the reference's actual published hardware (TitanX sm_52, 6.7 TFLOP/s
+fp32, README.md:45-53) the same utilization gives ~1.0 patches/s, so the
+V100 anchor overstates, not understates, the baseline.
 """
 
 import json
@@ -142,16 +156,22 @@ def _run(batch_size):
     }
 
     if os.environ.get("MDT_BENCH_MODE") == "infer":
-        # inference path: forward + detection refinement (no grads/update)
-        def infer():
-            heads = net._predict_fn(params, img)
-            return net._detect_fn(*heads)
+        # inference path: forward + detection refinement (no grads/update).
+        # The step index is threaded into the input VALUES inside the jitted
+        # wrapper: the TPU runtime elides executions whose inputs are
+        # bit-identical to a previous call, so a same-inputs loop measures
+        # dispatch, not compute (additive epsilons that round away do not
+        # defeat it; the 1e-3 relative scale is timing-irrelevant).
+        @jax.jit
+        def infer(p, x, i):
+            heads = net._predict(p, x * (1.0 + i.astype(x.dtype) * x.dtype.type(1e-3)))
+            return net._finalize_outputs_jit(*heads)
 
-        out_i = infer()
+        out_i = infer(params, img, jnp.int32(0))
         jax.block_until_ready(out_i[0])
         t0 = time.perf_counter()
-        for _ in range(n_steps):
-            out_i = infer()
+        for i in range(n_steps):
+            out_i = infer(params, img, jnp.int32(1 + i))
         jax.block_until_ready(out_i[0])
         dt_i = time.perf_counter() - t0
         result = {

@@ -68,16 +68,18 @@ class configs(DefaultConfigs):
         #########################
         #  Schedule / Selection #
         #########################
-        self.num_epochs = 100
-        self.num_train_batches = 200
-        self.batch_size = 20 if self.dim == 2 else 8
+        # reference schedule; MDT_LIDC_* envs override for scripted runs
+        # (synthetic convergence demos, dev smoke) without touching configs
+        self.num_epochs = int(os.environ.get("MDT_LIDC_EPOCHS", 100))
+        self.num_train_batches = int(os.environ.get("MDT_LIDC_NTB", 200))
+        self.batch_size = int(os.environ.get("MDT_LIDC_BS", 20 if self.dim == 2 else 8))
 
         self.do_validation = True
         self.val_mode = "val_sampling"
         if self.val_mode == "val_patient":
             self.max_val_patients = 50
         if self.val_mode == "val_sampling":
-            self.num_val_batches = 50
+            self.num_val_batches = int(os.environ.get("MDT_LIDC_NVB", 50))
 
         #########################
         #   Testing / Plotting  #

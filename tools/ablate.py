@@ -28,22 +28,40 @@ import numpy as np
 
 
 def _timed(fn, *args, n=None, name=""):
+    """Time fn; fn MUST consume a per-call int32 iteration scalar.
+
+    The TPU runtime memoizes executions whose input buffers are bit-identical
+    to a previous call (a same-inputs timing loop measures dispatch, not
+    compute — burned us in round 2). Every timed fn therefore takes a
+    trailing iteration scalar it must MIX into the computation.
+    """
     import jax
+    import jax.numpy as jnp
 
     n = n or int(os.environ.get("MDT_ABLATE_STEPS", 10))
-    out = fn(*args)
+    out = fn(*args, jnp.int32(0))
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    out = fn(*args)
+    out = fn(*args, jnp.int32(1))
     jax.block_until_ready(out)
     t_second = time.perf_counter() - t0  # post-compile single step
     t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args)
+    for k in range(n):
+        out = fn(*args, jnp.int32(2 + k))
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / n
     print(f"{name:>12}: {dt * 1e3:8.1f} ms/step   (single warm: {t_second * 1e3:.1f} ms)", flush=True)
     return dt
+
+
+def _mix(x, i):
+    """Make the input VALUE genuinely different per call.
+
+    The TPU runtime elides executions whose inputs are bit-identical to a
+    previous call (content-addressed: additive epsilons that round away do
+    NOT defeat it — burned us twice in round 2). A 1e-3 relative scale is
+    numerically irrelevant for timing purposes but forces real execution."""
+    return x * (1.0 + i.astype(x.dtype) * x.dtype.type(1e-3))
 
 
 def main(variants):
@@ -89,8 +107,9 @@ def main(variants):
     if "full" in variants:
         state = {"p": params, "o": opt_state}  # the step donates both buffers
 
-        def full():
-            out = net._train_step_fn(state["p"], state["o"], rng, lr, img, gt_boxes, gt_ids, gt_valid, seg)
+        def full(i):
+            out = net._train_step_fn(state["p"], state["o"], jax.random.fold_in(rng, i),
+                                     lr, img, gt_boxes, gt_ids, gt_valid, seg)
             state["p"], state["o"] = out[0], out[1]
             return out[2]["loss"]
 
@@ -98,7 +117,7 @@ def main(variants):
         params, opt_state = state["p"], state["o"]
 
     if "fwd" in variants:
-        fwd = jax.jit(lambda p, x: net._predict(p, x))
+        fwd = jax.jit(lambda p, x, i: net._predict(p, _mix(x, i)))
         _timed(fwd, params, img, name="fwd")
 
     if "bb_fwd" in variants or "bb_bwd" in variants:
@@ -116,31 +135,38 @@ def main(variants):
         fpn_params = jax.jit(fpn.init)(jax.random.PRNGKey(0), img)["params"]
 
         if "bb_fwd" in variants:
-            bb = jax.jit(lambda p, x: [jnp.sum(o.astype(jnp.float32)) for o in fpn.apply({"params": p}, x)])
+            bb = jax.jit(lambda p, x, i: [jnp.sum(o.astype(jnp.float32)) for o in fpn.apply({"params": p}, _mix(x, i))])
             _timed(bb, fpn_params, img, name="bb_fwd")
 
         if "bb_bwd" in variants:
             def bb_loss(p, x):
                 return sum(jnp.sum(o.astype(jnp.float32)) for o in fpn.apply({"params": p}, x))
 
-            bbg = jax.jit(lambda p, x: jax.grad(bb_loss)(p, x))
+            def bb_grad_scalar(p, x, i):
+                g = jax.grad(bb_loss)(p, _mix(x, i))
+                # reduce over ALL leaves: returning a single leaf lets XLA
+                # dead-code-eliminate the other gradients (partial backward)
+                return sum(jnp.sum(l.astype(jnp.float32)) for l in jax.tree_util.tree_leaves(g))
+
+            bbg = jax.jit(bb_grad_scalar)
             _timed(bbg, fpn_params, img, name="bb_bwd")
 
     if "detect" in variants:
         heads = net._predict_fn(params, img)
         jax.block_until_ready(heads[0])
-        _timed(lambda: net._detect_fn(*heads), name="detect")
+        det = jax.jit(lambda h0, rest, i: net._finalize_outputs_jit(_mix(h0, i), *rest))
+        _timed(det, heads[0], heads[1:], name="detect")
 
     if "loss_fwd" in variants:
         lf = jax.jit(
-            lambda p, r: net._losses_and_outputs(p, r, img, gt_boxes, gt_ids, gt_valid, seg)[0]
+            lambda p, r, i: net._losses_and_outputs(p, jax.random.fold_in(r, i), img, gt_boxes, gt_ids, gt_valid, seg)[0]
         )
         _timed(lf, params, rng, name="loss_fwd")
 
     if "loss_bwd" in variants:
         lb = jax.jit(
-            lambda p, r: jax.grad(
-                lambda q: net._losses_and_outputs(q, r, img, gt_boxes, gt_ids, gt_valid, seg)[0]
+            lambda p, r, i: jax.grad(
+                lambda q: net._losses_and_outputs(q, jax.random.fold_in(r, i), img, gt_boxes, gt_ids, gt_valid, seg)[0]
             )(p)
         )
         _timed(lb, params, rng, name="loss_bwd")
@@ -152,7 +178,8 @@ def main(variants):
         neg_iou = 0.1 if cf.dim == 2 else 0.01
         std = jnp.asarray(cf.rpn_bbox_std_dev, jnp.float32)
 
-        def run_match(r, gb, gi, gv):
+        def run_match(r, gb, gi, gv, it):
+            r = jax.random.fold_in(r, it)
             rngs = jax.random.split(r, gb.shape[0])
             return jax.vmap(
                 lambda rr, b, i, v: match_ops.gt_anchor_matching(
@@ -175,13 +202,14 @@ def main(variants):
             onehot = loss_ops.one_hot_channels(s, cf.num_seg_classes)
             return (1.0 - loss_ops.batch_dice(probs, onehot)) + loss_ops.weighted_ce(logits_cf, s)
 
-        sl = jax.jit(lambda lg, s: jax.value_and_grad(seg_loss)(lg, s))
+        sl = jax.jit(lambda lg, s, i: jax.value_and_grad(seg_loss)(_mix(lg, i), s))
         _timed(sl, fake_logits, seg, name="seg")
 
     if "adam" in variants:
         grads = jax.tree_util.tree_map(jnp.ones_like, params)
 
-        def adam(g, o, p):
+        def adam(g, o, p, i):
+            g = jax.tree_util.tree_map(lambda a: _mix(a, i), g)
             upd, o2 = net._optimizer.update(g, o, p)
             upd = jax.tree_util.tree_map(lambda u: u * lr, upd)
             return jax.tree_util.tree_map(lambda a, u: a + u, p, upd), o2
