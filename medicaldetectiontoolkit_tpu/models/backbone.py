@@ -42,9 +42,97 @@ def _kinit(name: Optional[str]):
     raise ValueError(f"unknown weight_init '{name}'")
 
 
+def _zfold_backend_default():
+    """Auto z-fold only on TPU backends (CPU/GPU convs don't lane-pad)."""
+    try:
+        return jax.default_backend() not in ("cpu", "gpu")
+    except Exception:  # pragma: no cover - backend probing must never crash
+        return False
+
+
+def _zfold_policy(cin: int, cout: int, z_len: int, ks: int, stride_z: int) -> int:
+    """Pick the z space-to-depth factor for a 3D conv, or 1 for no fold.
+
+    TPU convs put the feature dim in the 128-wide lane axis; 18/36-channel
+    full-res 3D tensors pad 7x/3.5x (the round-2 binding constraint). Folding
+    z by ``f`` multiplies channels by ``f`` at a FLOP overhead of roughly
+    ``t*f/ks`` (t = folded z-taps) from the banded zero blocks — measured
+    net wins of 1.4-2.1x per conv (tools/convprobe.py). Only stride_z == 1
+    layers fold (all full-res layers here); tiny-z tensors skip (pad
+    overhead dominates).
+    """
+    if stride_z != 1 or z_len < 16:
+        return 1
+    c = max(cin, cout)
+    if c <= 32:
+        return 4
+    if c <= 36:
+        return 2
+    return 1
+
+
+class _ZFoldedConv(nn.Module):
+    """3D conv computed on a z space-to-depth folded layout (TPU lane fill).
+
+    Mathematically exact reformulation of ``nn.Conv``: the input is padded by
+    the conv's z-padding, folded z->channels by ``zfold``, and convolved with
+    block-banded weights built on the fly from the LOGICAL kernel param —
+    ``w_f[ky, kx, T, i*Cin+ci, j*Cout+co] = w[ky, kx, f*T+i-j, ci, co]``
+    (zero outside [0, ks)), so folded output slot j of block zo is exactly
+    original output z = f*zo + j. Param names/shapes are identical to
+    ``nn.Conv`` (kernel (k,k,k,Cin,Cout), bias (Cout,)): checkpoints are
+    interchangeable with the unfolded path, and gradients flow to the
+    logical params through the banded construction (no custom VJP).
+    """
+
+    features: int
+    ks: int
+    stride: tuple  # (sy, sx, 1); z-stride must be 1
+    pad: int
+    zfold: int
+    kernel_init: object
+    dtype: object
+
+    @nn.compact
+    def __call__(self, x):
+        f, k, p = self.zfold, self.ks, self.pad
+        B, Y, X, Z, cin = x.shape
+        w = self.param("kernel", self.kernel_init, (k, k, k, cin, self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+
+        t = -(-(f + k - 1) // f)  # folded z taps
+        zb_out = -(-Z // f)
+        L = f * (zb_out + t - 1)  # padded z length: left p, right to fit
+        xp = jnp.pad(x, [(0, 0), (0, 0), (0, 0), (p, L - p - Z), (0, 0)])
+        xf = xp.reshape(B, Y, X, L // f, f * cin)
+
+        T = jnp.arange(t)[:, None, None]
+        i = jnp.arange(f)[None, :, None]
+        j = jnp.arange(f)[None, None, :]
+        dz = f * T + i - j  # (t, f, f)
+        wg = w[:, :, jnp.clip(dz, 0, k - 1)]  # (k, k, t, f, f, cin, cout)
+        wg = jnp.where(((dz >= 0) & (dz < k))[..., None, None], wg, 0.0)
+        wf = wg.transpose(0, 1, 2, 3, 5, 4, 6).reshape(k, k, t, f * cin, f * self.features)
+
+        out = jax.lax.conv_general_dilated(
+            xf.astype(self.dtype),
+            wf.astype(self.dtype),
+            window_strides=(self.stride[0], self.stride[1], 1),
+            padding=[(p, p), (p, p), (0, 0)],
+            dimension_numbers=("NHWDC", "HWDIO", "NHWDC"),
+        )
+        out = out + jnp.tile(b, f).astype(self.dtype)
+        oy, ox = out.shape[1], out.shape[2]
+        out = out.reshape(B, oy, ox, zb_out * f, self.features)
+        return out[:, :, :, :Z]
+
+
 class ConvND(nn.Module):
     """conv + optional norm + optional nonlinearity; the NDConvGenerator analog
-    (``utils/model_utils.py:732-781``), rank-polymorphic via ``dim``."""
+    (``utils/model_utils.py:732-781``), rank-polymorphic via ``dim``.
+
+    ``zfold``: 0 = auto (z space-to-depth fold small-channel 3D convs on TPU
+    backends, see ``_zfold_policy``), 1 = never, >1 = explicit factor."""
 
     dim: int
     features: int
@@ -55,18 +143,30 @@ class ConvND(nn.Module):
     relu: Optional[str] = "relu"
     weight_init: Optional[str] = None
     dtype: object = jnp.float32
+    zfold: int = 0
 
     @nn.compact
     def __call__(self, x):
         stride = self.stride if isinstance(self.stride, (tuple, list)) else (self.stride,) * self.dim
-        x = nn.Conv(
-            self.features,
-            kernel_size=(self.ks,) * self.dim,
-            strides=tuple(stride),
-            padding=[(self.pad, self.pad)] * self.dim,
-            kernel_init=_kinit(self.weight_init),
-            dtype=self.dtype,
-        )(x)
+        stride = tuple(stride)
+        f = self.zfold
+        if f == 0 and self.dim == 3 and _zfold_backend_default():
+            f = _zfold_policy(x.shape[-1], self.features, x.shape[-2], self.ks, stride[-1])
+        if self.dim == 3 and f > 1:
+            x = _ZFoldedConv(
+                features=self.features, ks=self.ks, stride=stride, pad=self.pad,
+                zfold=f, kernel_init=_kinit(self.weight_init), dtype=self.dtype,
+                name="Conv_0",
+            )(x)
+        else:
+            x = nn.Conv(
+                self.features,
+                kernel_size=(self.ks,) * self.dim,
+                strides=stride,
+                padding=[(self.pad, self.pad)] * self.dim,
+                kernel_init=_kinit(self.weight_init),
+                dtype=self.dtype,
+            )(x)
         if self.norm == "instance_norm":
             x = nn.GroupNorm(num_groups=None, group_size=1, dtype=self.dtype)(x)
         elif self.norm == "batch_norm":

@@ -43,6 +43,17 @@ def main():
         ("head 3^3 64->64 /4", (4, 32, 32, 64, 64), 64, (3, 3, 3), (1, 1, 1)),
         ("stage2 3^3 18->18 /4", (4, 32, 32, 64, 18), 18, (3, 3, 3), (1, 1, 1)),
         ("head 3^3 64->64 /4 C128", (4, 32, 32, 64, 128), 128, (3, 3, 3), (1, 1, 1)),
+        # z-folded equivalents (space-to-depth by f on z; kernel z-taps
+        # t=ceil((f+k-1)/f); channels x f). Wall-time comparison vs the
+        # unfolded case above IS the honest speedup estimate: the folded
+        # banded weights compute their zero blocks densely, same as here.
+        ("zf4 c0_b (3,3,2) 72", (4, 128, 128, 16, 72), 72, (3, 3, 2), (1, 1, 1)),
+        ("zf2 c0_b (3,3,2) 36", (4, 128, 128, 32, 36), 36, (3, 3, 2), (1, 1, 1)),
+        ("zf4 stem (7,7,3) 72", (4, 128, 128, 16, 72), 72, (7, 7, 3), (2, 2, 1)),
+        ("zf2 p0 (3,3,2) 72", (4, 128, 128, 32, 72), 72, (3, 3, 2), (1, 1, 1)),
+        ("zf4 stage2 (3,3,2) 72", (4, 32, 32, 16, 72), 72, (3, 3, 2), (1, 1, 1)),
+        ("zf2 p2 (3,3,2) 72", (4, 32, 32, 32, 72), 72, (3, 3, 2), (1, 1, 1)),
+        ("zf4 1x1 18->72 fullres", (4, 128, 128, 16, 72), 288, (1, 1, 1), (1, 1, 1)),
     ]
     for name, ishape, cout, ks, stride in cases:
         cin = ishape[-1]
