@@ -51,17 +51,17 @@ def _zfold_backend_default():
 
 
 def _zfold_policy(cin: int, cout: int, z_len: int, ks: int, stride_z: int) -> int:
-    """Pick the z space-to-depth factor for a 3D conv, or 1 for no fold.
+    """Pick the space-to-depth factor for the minor spatial axis, or 1.
 
     TPU convs put the feature dim in the 128-wide lane axis; 18/36-channel
-    full-res 3D tensors pad 7x/3.5x (the round-2 binding constraint). Folding
-    z by ``f`` multiplies channels by ``f`` at a FLOP overhead of roughly
-    ``t*f/ks`` (t = folded z-taps) from the banded zero blocks — measured
-    net wins of 1.4-2.1x per conv (tools/convprobe.py). Only stride_z == 1
-    layers fold (all full-res layers here); tiny-z tensors skip (pad
-    overhead dominates).
+    tensors pad 7x/3.5x (the round-2 binding constraint). Folding the last
+    spatial axis by ``f`` multiplies channels by ``f`` at a FLOP overhead of
+    roughly ``t*f/ks`` (t = folded taps) from the banded zero blocks —
+    measured net wins of 1.4-2.1x per conv (tools/convprobe.py). Strided
+    folded axes are supported (banding absorbs the stride); tiny axes skip
+    (pad overhead dominates).
     """
-    if stride_z != 1 or z_len < 16:
+    if z_len < 16:
         return 1
     c = max(cin, cout)
     if c <= 32:
@@ -72,22 +72,26 @@ def _zfold_policy(cin: int, cout: int, z_len: int, ks: int, stride_z: int) -> in
 
 
 class _ZFoldedConv(nn.Module):
-    """3D conv computed on a z space-to-depth folded layout (TPU lane fill).
+    """Conv computed with its minor spatial axis space-to-depth folded into
+    the channel (lane) dim — 2D folds x, 3D folds z.
 
     Mathematically exact reformulation of ``nn.Conv``: the input is padded by
-    the conv's z-padding, folded z->channels by ``zfold``, and convolved with
-    block-banded weights built on the fly from the LOGICAL kernel param —
-    ``w_f[ky, kx, T, i*Cin+ci, j*Cout+co] = w[ky, kx, f*T+i-j, ci, co]``
-    (zero outside [0, ks)), so folded output slot j of block zo is exactly
-    original output z = f*zo + j. Param names/shapes are identical to
-    ``nn.Conv`` (kernel (k,k,k,Cin,Cout), bias (Cout,)): checkpoints are
-    interchangeable with the unfolded path, and gradients flow to the
-    logical params through the banded construction (no custom VJP).
+    the conv's padding on the folded axis, folded axis->channels by ``zfold``,
+    and convolved with block-banded weights built on the fly from the LOGICAL
+    kernel param —
+    ``w_f[..., T, i*Cin+ci, j*Cout+co] = w[..., f*T+i-s*j, ci, co]``
+    (zero outside [0, ks); ``s`` = the folded axis' stride, which becomes the
+    block-axis conv stride), so folded output slot j of block zo is exactly
+    original output position f*zo + j. Param names/shapes are identical to
+    ``nn.Conv``: checkpoints are interchangeable with the unfolded path, and
+    gradients flow to the logical params through the banded construction
+    (no custom VJP).
     """
 
+    dim: int
     features: int
     ks: int
-    stride: tuple  # (sy, sx, 1); z-stride must be 1
+    stride: tuple  # per-axis; stride on the folded (last spatial) axis ok
     pad: int
     zfold: int
     kernel_init: object
@@ -95,36 +99,43 @@ class _ZFoldedConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        f, k, p = self.zfold, self.ks, self.pad
-        B, Y, X, Z, cin = x.shape
-        w = self.param("kernel", self.kernel_init, (k, k, k, cin, self.features), jnp.float32)
+        d, f, k, p = self.dim, self.zfold, self.ks, self.pad
+        s = self.stride[-1]
+        Z, cin = x.shape[-2], x.shape[-1]
+        lead = x.shape[:-2]  # (B, Y[, X])
+        w = self.param("kernel", self.kernel_init, (k,) * d + (cin, self.features), jnp.float32)
         b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
 
-        t = -(-(f + k - 1) // f)  # folded z taps
-        zb_out = -(-Z // f)
-        L = f * (zb_out + t - 1)  # padded z length: left p, right to fit
-        xp = jnp.pad(x, [(0, 0), (0, 0), (0, 0), (p, L - p - Z), (0, 0)])
-        xf = xp.reshape(B, Y, X, L // f, f * cin)
+        z_out = -(-Z // s)  # SAME padding: ceil(Z / s)
+        zb_out = -(-z_out // f)
+        # folded taps: dz = f*T + i - s*j must cover [0, k) for all i, j
+        t = (k - 1 + s * (f - 1)) // f + 1
+        L = f * (s * (zb_out - 1) + t)  # padded length: left p, right to fit
+        assert L - p - Z >= 0
+        xp = jnp.pad(x, [(0, 0)] * d + [(p, L - p - Z), (0, 0)])
+        xf = xp.reshape(lead + (L // f, f * cin))
 
         T = jnp.arange(t)[:, None, None]
         i = jnp.arange(f)[None, :, None]
         j = jnp.arange(f)[None, None, :]
-        dz = f * T + i - j  # (t, f, f)
-        wg = w[:, :, jnp.clip(dz, 0, k - 1)]  # (k, k, t, f, f, cin, cout)
+        dz = f * T + i - s * j  # (t, f, f)
+        wg = w[..., jnp.clip(dz, 0, k - 1), :, :]  # (k[, k], t, f, f, cin, cout)
         wg = jnp.where(((dz >= 0) & (dz < k))[..., None, None], wg, 0.0)
-        wf = wg.transpose(0, 1, 2, 3, 5, 4, 6).reshape(k, k, t, f * cin, f * self.features)
+        # (..., t, i, cin, j, cout) -> (..., t, f*cin, f*cout)
+        perm = tuple(range(d - 1)) + (d - 1, d, d + 2, d + 1, d + 3)
+        wf = wg.transpose(perm).reshape((k,) * (d - 1) + (t, f * cin, f * self.features))
 
+        dn = ("NHWDC", "HWDIO", "NHWDC") if d == 3 else ("NHWC", "HWIO", "NHWC")
         out = jax.lax.conv_general_dilated(
             xf.astype(self.dtype),
             wf.astype(self.dtype),
-            window_strides=(self.stride[0], self.stride[1], 1),
-            padding=[(p, p), (p, p), (0, 0)],
-            dimension_numbers=("NHWDC", "HWDIO", "NHWDC"),
+            window_strides=tuple(self.stride[:-1]) + (s,),
+            padding=[(p, p)] * (d - 1) + [(0, 0)],
+            dimension_numbers=dn,
         )
         out = out + jnp.tile(b, f).astype(self.dtype)
-        oy, ox = out.shape[1], out.shape[2]
-        out = out.reshape(B, oy, ox, zb_out * f, self.features)
-        return out[:, :, :, :Z]
+        out = out.reshape(out.shape[:-2] + (out.shape[-2] * f, self.features))
+        return out[..., :z_out, :]
 
 
 class ConvND(nn.Module):
@@ -150,13 +161,13 @@ class ConvND(nn.Module):
         stride = self.stride if isinstance(self.stride, (tuple, list)) else (self.stride,) * self.dim
         stride = tuple(stride)
         f = self.zfold
-        if f == 0 and self.dim == 3 and _zfold_backend_default():
+        if f == 0 and _zfold_backend_default():
             f = _zfold_policy(x.shape[-1], self.features, x.shape[-2], self.ks, stride[-1])
-        if self.dim == 3 and f > 1:
+        if f > 1:
             x = _ZFoldedConv(
-                features=self.features, ks=self.ks, stride=stride, pad=self.pad,
-                zfold=f, kernel_init=_kinit(self.weight_init), dtype=self.dtype,
-                name="Conv_0",
+                dim=self.dim, features=self.features, ks=self.ks, stride=stride,
+                pad=self.pad, zfold=f, kernel_init=_kinit(self.weight_init),
+                dtype=self.dtype, name="Conv_0",
             )(x)
         else:
             x = nn.Conv(

@@ -20,13 +20,18 @@ def _make(dim, cin, cout, ks, stride, pad, zfold):
 
 
 CASES = [
-    # cin, cout, ks, stride, pad, zfold, spatial
+    # cin, cout, ks, stride, pad, zfold, spatial (3D: fold z; 2D: fold x)
     (1, 18, 3, (1, 1, 1), 1, 4, (12, 12, 16)),
     (18, 18, 3, (1, 1, 1), 1, 4, (10, 10, 16)),
     (18, 18, 7, (2, 2, 1), 3, 4, (12, 12, 16)),
     (36, 36, 3, (1, 1, 1), 1, 2, (8, 8, 16)),
     (18, 36, 1, (1, 1, 1), 0, 4, (6, 6, 16)),
     (18, 18, 3, (1, 1, 1), 1, 2, (6, 6, 18)),  # z not a multiple of f
+    (18, 18, 3, (1, 1, 2), 1, 2, (6, 6, 16)),  # strided folded axis (3D)
+    (1, 18, 3, (1, 1), 1, 4, (16, 32)),  # 2D: x folds
+    (18, 18, 7, (2, 2), 3, 4, (32, 32)),  # 2D strided stem geometry
+    (36, 36, 3, (1, 1), 1, 2, (16, 24)),
+    (18, 36, 1, (1, 1), 0, 4, (8, 16)),
 ]
 
 
@@ -34,9 +39,10 @@ class TestZFoldEquivalence:
     @pytest.mark.parametrize("cin,cout,ks,stride,pad,zfold,spatial", CASES)
     def test_forward_matches_unfolded(self, cin, cout, ks, stride, pad, zfold, spatial):
         rng = np.random.RandomState(0)
+        dim = len(spatial)
         x = jnp.asarray(rng.randn(2, *spatial, cin).astype(np.float32))
-        ref = _make(3, cin, cout, ks, stride, pad, zfold=1)
-        fold = _make(3, cin, cout, ks, stride, pad, zfold=zfold)
+        ref = _make(dim, cin, cout, ks, stride, pad, zfold=1)
+        fold = _make(dim, cin, cout, ks, stride, pad, zfold=zfold)
         params = jax.jit(ref.init)(jax.random.PRNGKey(1), x)
         # identical param tree: the folded module reuses the same params
         out_ref = jax.jit(ref.apply)(params, x)
@@ -76,10 +82,10 @@ class TestZFoldEquivalence:
             gp_fold, gp_ref)
 
     def test_policy_gates(self):
-        # stride_z != 1, tiny z, and wide channels never fold
-        assert bb._zfold_policy(18, 18, 64, 3, 2) == 1
+        # tiny axes and wide channels never fold; strided axes may
         assert bb._zfold_policy(18, 18, 8, 3, 1) == 1
         assert bb._zfold_policy(64, 64, 64, 3, 1) == 1
         assert bb._zfold_policy(18, 18, 64, 3, 1) == 4
+        assert bb._zfold_policy(18, 18, 64, 7, 2) == 4
         assert bb._zfold_policy(36, 36, 64, 3, 1) == 2
         assert bb._zfold_policy(1, 18, 64, 3, 1) == 4
