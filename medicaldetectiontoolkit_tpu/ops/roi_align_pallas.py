@@ -87,12 +87,15 @@ def _pyramid_kernel_factory(dim: int, crop_size, out_dtype):
             row0_ref, row1_ref, out_ref = rest
         r = pl.program_id(0)
         j = pl.program_id(1)
-        ly = ly_ref[r, j].astype(out_dtype)
+        # all (crop, R) index/lerp arrays are transposed so their minor dim
+        # is R: Mosaic pads a 2D SMEM operand's minor dim to 128 lanes, which
+        # blew a (R, 7) array up to (R, 128) and overflowed SMEM on hardware
+        ly = ly_ref[j, r].astype(out_dtype)
 
         for ox in range(cw):
-            x0 = x0_ref[r, ox]
-            x1 = x1_ref[r, ox]
-            lx = lx_ref[r, ox].astype(out_dtype)
+            x0 = x0_ref[ox, r]
+            x1 = x1_ref[ox, r]
+            lx = lx_ref[ox, r].astype(out_dtype)
             if dim == 3:
                 # rows: (1, 1, 1, maxW, maxZ, C); gather the two x-columns.
                 # Lerp y first, then x, then z — the exact association of the
@@ -107,9 +110,9 @@ def _pyramid_kernel_factory(dim: int, crop_size, out_dtype):
                 # refs, not on computed arrays
                 col_ref[:] = colx0 * (1 - lx) + colx1 * lx  # (maxZ, C)
                 for oz in range(cz):
-                    z0 = z0_ref[r, oz]
-                    z1 = z1_ref[r, oz]
-                    lz = lz_ref[r, oz].astype(out_dtype)
+                    z0 = z0_ref[oz, r]
+                    z1 = z1_ref[oz, r]
+                    lz = lz_ref[oz, r].astype(out_dtype)
                     front = col_ref[pl.ds(z0, 1)]  # (1, C)
                     back = col_ref[pl.ds(z1, 1)]
                     out_ref[0, 0, ox, oz, :] = (front * (1 - lz) + back * lz)[0]
@@ -126,6 +129,18 @@ def _pyramid_kernel_factory(dim: int, crop_size, out_dtype):
     return kernel
 
 
+# scalar-prefetch operands live in SMEM (1 MB per core); cap the per-call
+# footprint well below that and chunk the roi axis when it would exceed it
+# (first real-hardware compile failed with a 5 MB prefetch operand at
+# Mask R-CNN's classify-all size, R = batch * post_nms_rois = 10000)
+_MAX_SMEM_BYTES = 400_000
+
+
+def _bytes_per_roi(crop_size):
+    # levels_idx + batch_ix (2 int32) + per-axis (idx0, idx1, lerp) rows
+    return 4 * (2 + 3 * sum(crop_size))
+
+
 @functools.partial(jax.jit, static_argnames=("crop_size", "interpret"))
 def pyramid_roi_align_pallas(feature_maps, boxes, box_indices, levels_idx, crop_size,
                              interpret: bool = False):
@@ -135,7 +150,8 @@ def pyramid_roi_align_pallas(feature_maps, boxes, box_indices, levels_idx, crop_
     boxes: (R, 2*dim) normalized [0, 1]; box_indices: (R,) int32 batch ids;
     levels_idx: (R,) int32 in [0, len(feature_maps)).
     Returns (R, *crop_size, C) crops, same numerics as
-    ``pyramid_roi_align_xla``.
+    ``pyramid_roi_align_xla``. Large R is split into SMEM-sized chunks that
+    reuse one compiled kernel.
     """
     boxes = jax.lax.stop_gradient(boxes)
     dim = len(crop_size)
@@ -162,6 +178,25 @@ def pyramid_roi_align_pallas(feature_maps, boxes, box_indices, levels_idx, crop_
         z0, z1, lz = _level_axis_indices(boxes, levels_idx, crop_size[2], [s[2] for s in spatial], 4, 5)
         scalars += [z0, z1, lz]
 
+    chunk = max(1, _MAX_SMEM_BYTES // _bytes_per_roi(crop_size))
+    if R > chunk:
+        n_chunks = -(-R // chunk)
+        pad = n_chunks * chunk - R
+        padded = [jnp.pad(s, [(0, pad)] + [(0, 0)] * (s.ndim - 1)) for s in scalars]
+        parts = [
+            _pyramid_call(stacked, [s[i * chunk : (i + 1) * chunk] for s in padded],
+                          crop_size, max_sp, C, dtype, interpret)
+            for i in range(n_chunks)
+        ]
+        return jnp.concatenate(parts)[:R]
+    return _pyramid_call(stacked, scalars, crop_size, max_sp, C, dtype, interpret)
+
+
+def _pyramid_call(stacked, scalars, crop_size, max_sp, C, dtype, interpret):
+    dim = len(crop_size)
+    R = scalars[0].shape[0]
+    # (R, crop) -> (crop, R): keep the big dim minor in SMEM (see kernel note)
+    scalars = [s.T if s.ndim == 2 else s for s in scalars]
     # row blocks: pipeline fetches exactly the (level, batch, y-row) each
     # grid step needs, addressed via the scalar-prefetched index arrays
     row_block = (1, 1, 1) + max_sp[1:] + (C,)
@@ -169,9 +204,9 @@ def pyramid_roi_align_pallas(feature_maps, boxes, box_indices, levels_idx, crop_
     def row_map(which):
         if dim == 3:
             return lambda r, j, lvl, bix, yy0, yy1, *_: (
-                lvl[r], bix[r], (yy0 if which == 0 else yy1)[r, j], 0, 0, 0)
+                lvl[r], bix[r], (yy0 if which == 0 else yy1)[j, r], 0, 0, 0)
         return lambda r, j, lvl, bix, yy0, yy1, *_: (
-            lvl[r], bix[r], (yy0 if which == 0 else yy1)[r, j], 0, 0)
+            lvl[r], bix[r], (yy0 if which == 0 else yy1)[j, r], 0, 0)
 
     out_block = (1, 1) + tuple(crop_size[1:]) + (C,)
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -106,3 +106,13 @@ def test_vjp_numeric_diff(rng):
         loL = loss(jnp.array(f0 - bump))
         num = (float(hi) - float(loL)) / (2 * eps)
         np.testing.assert_allclose(g[idx], num, rtol=1e-2, atol=1e-3)
+
+def test_chunked_large_R_matches_oracle(rng, monkeypatch):
+    # force the SMEM chunking path (real-hardware limit: the scalar-prefetch
+    # operands of a batch*post_nms_rois Mask R-CNN call exceed SMEM)
+    monkeypatch.setattr(P, "_MAX_SMEM_BYTES", P._bytes_per_roi((5, 5)) * 4)
+    fms = make_pyramid(rng, 2)
+    boxes, bix, lvl = make_rois(rng, 2, R=11, B=2, L=3)  # 3 chunks of 4 + pad
+    want = P.pyramid_roi_align_xla(fms, boxes, bix, lvl, (5, 5))
+    got = P.pyramid_roi_align_pallas(fms, boxes, bix, lvl, (5, 5), interpret=INTERPRET)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=1e-6)
