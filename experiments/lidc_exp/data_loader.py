@@ -424,6 +424,10 @@ class PatientBatchIterator:
 
     def __next__(self):
         cf = self.cf
+        if not self.dataset_pids:
+            # more processes than patients: this host's shard is empty —
+            # iterate nothing instead of crashing on [0] / % 0
+            raise StopIteration
         pid = self.dataset_pids[self.patient_ix]
         patient = self._data[pid]
         data, seg = self._load_padded(patient)

@@ -164,6 +164,9 @@ class PatientBatchIterator:
         return self
 
     def __next__(self):
+        if not self.dataset_pids:
+            # more processes than patients: empty shard iterates nothing
+            raise StopIteration
         pid = self.dataset_pids[self.patient_ix]
         patient = self._data[pid]
         all_data = np.load(patient["data"], mmap_mode="r")

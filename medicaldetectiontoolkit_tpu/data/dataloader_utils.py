@@ -42,7 +42,11 @@ def get_class_balanced_patients(class_targets, batch_size, num_classes, slack_fa
     counts = np.zeros((n_patients, num_classes), dtype=np.int64)
     for p, targets in enumerate(class_targets):
         for t in targets:
-            counts[p, t] += 1
+            # out-of-range labels (e.g. -1 ignore padding, or 1-coded labels
+            # with a tight num_classes) are ignored, matching the tolerant
+            # .count(cl)-style accounting of the reference
+            if 0 <= t < num_classes:
+                counts[p, t] += 1
 
     n_slack = int(batch_size * slack_factor)
     # safety bound absent in the reference: if the scarcest class does not

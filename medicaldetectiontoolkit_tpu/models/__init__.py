@@ -38,10 +38,23 @@ def _load_snapshot_sources(cf):
         spec.loader.exec_module(mod)
         return mod
 
-    bb_src = getattr(cf, "backbone_source_path", None)
-    if bb_src and os.path.isfile(bb_src):
-        load_registered("medicaldetectiontoolkit_tpu.models.backbone", bb_src)
-    load_registered("medicaldetectiontoolkit_tpu.models._snapshot_model", cf.model_source_path)
+    bb_name = "medicaldetectiontoolkit_tpu.models.backbone"
+    saved = {n: sys.modules.get(n) for n in (bb_name,)}
+    try:
+        bb_src = getattr(cf, "backbone_source_path", None)
+        if bb_src and os.path.isfile(bb_src):
+            load_registered(bb_name, bb_src)
+        load_registered("medicaldetectiontoolkit_tpu.models._snapshot_model", cf.model_source_path)
+    finally:
+        # restore the canonical modules: the snapshot model keeps direct
+        # references to the frozen backbone objects it imported, but later
+        # non-snapshot imports in this process must NOT silently resolve to
+        # the frozen code
+        for n, mod in saved.items():
+            if mod is not None:
+                sys.modules[n] = mod
+            else:
+                sys.modules.pop(n, None)
 
 
 def build_model(cf, logger):

@@ -108,6 +108,7 @@ class DetectionUNet(base.Detector):
     # step signature: (params, opt_state, lr, img, seg) -> (params, opt_state, loss, smax)
     train_step_n_replicated_in = 3
     train_step_n_outputs = 4
+    predict_n_outputs = 1
 
     def build(self):
         cf = self.cf
@@ -127,8 +128,14 @@ class DetectionUNet(base.Detector):
         )
         self._train_step_fn = jax.jit(self._train_step, donate_argnums=(0, 1))
         self._loss_eval_fn = jax.jit(self._loss_eval)
-        self._predict_fn = jax.jit(lambda p, img: jax.nn.softmax(self.module.apply({"params": p}, img), axis=-1))
+        self._predict_fn = jax.jit(self._predict)
         self.current_lr = 1e-4
+
+    def _predict(self, params, img):
+        """(params, img) -> per-voxel softmax; the sharded-inference contract
+        (parallel/mesh.make_data_parallel_predict reads ``_predict`` +
+        ``predict_n_outputs``)."""
+        return jax.nn.softmax(self.module.apply({"params": params}, img), axis=-1)
 
     def init_params(self, seed: int = 0):
         cf = self.cf

@@ -35,7 +35,6 @@ from medicaldetectiontoolkit_tpu.ops import boxes as box_ops
 from medicaldetectiontoolkit_tpu.ops import losses as loss_ops
 from medicaldetectiontoolkit_tpu.ops import matching as match_ops
 from medicaldetectiontoolkit_tpu.ops import nms as nms_ops
-from medicaldetectiontoolkit_tpu.ops import topk as topk_ops
 
 
 class DenseHead(nn.Module):
@@ -161,12 +160,12 @@ def refine_detections(anchors, class_logits, pred_deltas, cf) -> Tuple[jnp.ndarr
 
     probs = jax.nn.softmax(class_logits, axis=-1)
     flat = probs[..., 1:].reshape(-1)
-    # top-k of millions of anchor scores: lax.top_k lowers to a full sort.
-    # stochastic_top_k (approx_max_k on large inputs) misses only within the
-    # low-score tail of the pre-NMS pool; the final top-`max_inst` detections
-    # sit at the head, so the result is unaffected in practice (exact top_k
-    # below the size gate keeps small/test shapes bit-exact).
-    scores, flat_ix = topk_ops.stochastic_top_k(flat, k)
+    # EXACT top-k: this is the deterministic inference path. approx_max_k
+    # reduces positionally-binned chunks, and the flat index order is
+    # (elem, anchor, class) — the fg-class scores of the SAME anchor are
+    # adjacent, so a bin collision drops the weaker class's candidate before
+    # per-class NMS ever sees it, changing per-class AP vs the reference.
+    scores, flat_ix = jax.lax.top_k(flat, k)
     cand_elem = flat_ix // (A * n_fg)
     rem = flat_ix % (A * n_fg)
     cand_anchor = rem // n_fg

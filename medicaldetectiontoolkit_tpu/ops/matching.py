@@ -28,7 +28,6 @@ import jax
 import jax.numpy as jnp
 
 from medicaldetectiontoolkit_tpu.ops import boxes as box_ops
-from medicaldetectiontoolkit_tpu.ops import topk as topk_ops
 
 
 @functools.partial(jax.jit, static_argnames=("max_pos",))
@@ -113,13 +112,18 @@ def gt_anchor_matching(
     matches = jnp.where(anchor_iou_max >= pos_iou_threshold, matched_class, matches)
     matches = jnp.where(any_gt, matches, -1)
 
-    # 4. random positive subsampling to max_pos // 2 (top-k of random keys;
-    #    stochastic_top_k avoids the full 674k-anchor sort lax.top_k costs)
+    # 4. random positive subsampling to max_pos // 2. EXACT top-k on purpose:
+    #    approx_max_k reduces positionally-binned chunks, and positive anchors
+    #    CLUSTER in index space (same pyramid level, adjacent positions around
+    #    an object) — colliding positives would be silently DROPPED to neutral
+    #    rather than randomly subsampled, biasing supervision exactly around
+    #    objects. The full sort costs ~10 ms at 3D anchor counts; correctness
+    #    of the reference contract wins.
     pos = matches > 0
     rand = jax.random.uniform(rng, (A,))
     pos_rank_key = jnp.where(pos, rand, jnp.inf)
     k = max(max_pos // 2, 1)
-    neg_vals, keep_idx = topk_ops.stochastic_top_k(-pos_rank_key, min(k, A))
+    neg_vals, keep_idx = jax.lax.top_k(-pos_rank_key, min(k, A))
     keep_valid = jnp.isfinite(neg_vals)
     keep_mask = jnp.zeros((A,), bool).at[jnp.where(keep_valid, keep_idx, A)].set(True, mode="drop")
     keep_pos = pos & keep_mask

@@ -1,14 +1,21 @@
 """Top-k selection helpers tuned for TPU anchor counts.
 
 ``jax.lax.top_k`` lowers to a full stable sort on TPU — ~10 ms per call at 3D
-anchor counts (674k), measured in the round-2 train-step trace. For the two
-*stochastic* selections in the training path that cost is pure waste:
+anchor counts (674k), measured in the round-2 train-step trace. For selections
+whose exact membership is immaterial that cost is pure waste:
 
-  * random positive subsampling in gt_anchor_matching (top-k of iid uniform
-    keys — ANY k-subset filter of random keys is an unbiased random subset);
   * the SHEM negative pool (top ``poolsize * count`` by predicted fg score —
-    the pool boundary is immaterial because the pool is then sampled
-    uniformly anyway).
+    the pool is subsequently sampled uniformly, so the approximate pool
+    boundary only blurs WHICH near-boundary hard negatives are eligible);
+  * monitoring-only index compaction (models/base.compact_anchor_indices).
+
+CAUTION — approx_max_k reduces positionally-binned chunks and keeps one max
+per bin, so values that CLUSTER in index space collapse to one survivor.
+That makes it WRONG for: random positive subsampling (positive anchors
+cluster around objects; colliding positives would be dropped, not
+subsampled) and detection refinement (per-anchor class scores are adjacent
+in the flat index; a collision drops the weaker class's candidate before
+per-class NMS). Those sites use exact ``lax.top_k``.
 
 ``stochastic_top_k`` therefore dispatches to ``jax.lax.approx_max_k``
 (TPU-native partial-reduction top-k, no full sort) for large inputs, keeping

@@ -100,7 +100,9 @@ def make_data_parallel_predict(detector, mesh: Mesh, axis_name: str = DATA_AXIS)
     return jax.jit(
         detector._predict,
         in_shardings=(repl, data),
-        out_shardings=(data,) * n_outs,
+        # a single-output predict (detection_unet) returns a bare array, not
+        # a tuple — the sharding spec must match the output pytree structure
+        out_shardings=data if n_outs == 1 else (data,) * n_outs,
         static_argnames=static,
     )
 

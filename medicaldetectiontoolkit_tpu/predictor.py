@@ -471,24 +471,25 @@ def merge_2D_to_3D_preds_per_patient(inputs):
     return [[out_patient_results_list], pid]
 
 
-def _legacy_iou_matrix(coords, dim):
-    """Full pairwise IoU with the legacy +1-pixel extent convention.
+def _legacy_iou_row(coords, areas, seed, dim):
+    """IoU of box ``seed`` vs all boxes, legacy +1-pixel extent convention.
 
-    coords: (n, 2*dim) as (y1, x1, y2, x2, (z1, z2)). The +1 convention is
-    the reference consolidation contract (``predictor.py:617-648``).
+    coords: (n, 2*dim) as (y1, x1, y2, x2, (z1, z2)); areas precomputed with
+    +1 extents. The +1 convention is the reference consolidation contract
+    (``predictor.py:617-648``). One O(n) row per cluster seed — test-time
+    consolidation sees thousands of boxes per (patient, class), where a full
+    (n, n) matrix plus broadcast temporaries costs O(n^2) host memory.
     """
     los = [coords[:, 0], coords[:, 1]] + ([coords[:, 4]] if dim == 3 else [])
     his = [coords[:, 2], coords[:, 3]] + ([coords[:, 5]] if dim == 3 else [])
-    extents = [hi - lo + 1 for lo, hi in zip(los, his)]
-    areas = np.prod(extents, axis=0)
-    inter = np.ones((coords.shape[0],) * 2)
+    inter = np.ones(coords.shape[0])
     for lo, hi in zip(los, his):
-        inter = inter * np.maximum(0.0, np.minimum(hi[:, None], hi[None, :]) - np.maximum(lo[:, None], lo[None, :]) + 1)
-    return inter / (areas[:, None] + areas[None, :] - inter)
+        inter = inter * np.maximum(0.0, np.minimum(hi[seed], hi) - np.maximum(lo[seed], lo) + 1)
+    return inter / (areas[seed] + areas - inter)
 
 
 def weighted_box_clustering(dets, box_patch_id, thresh, n_ens):
-    """WBC: greedy score-ordered clustering on a precomputed IoU matrix.
+    """WBC: greedy score-ordered clustering, one O(n) IoU row per seed.
 
     Contract (reference ``predictor.py:597-706``): clusters form at
     IoU > thresh around the highest-scoring unconsumed box; the cluster score
@@ -510,17 +511,17 @@ def weighted_box_clustering(dets, box_patch_id, thresh, n_ens):
     if dim == 3:
         extents.append(coords[:, 5] - coords[:, 4] + 1)
     areas = np.prod(extents, axis=0)
-    iou = _legacy_iou_matrix(coords, dim)
 
     keep_scores, keep_coords = [], []
     consumed = np.zeros(len(scores), bool)
     for seed in scores.argsort()[::-1]:
         if consumed[seed]:
             continue
-        members = ~consumed & (iou[seed] > thresh)
+        iou_row = _legacy_iou_row(coords, areas, seed, dim)
+        members = ~consumed & (iou_row > thresh)
         consumed |= members
 
-        weights = iou[seed, members] * areas[members] * center_factors[members]
+        weights = iou_row[members] * areas[members] * center_factors[members]
         weighted_scores = scores[members] * weights
         n_expected = n_ens * overlap_counts[members].mean()
         n_missing = max(0.0, n_expected - len(np.unique(box_patch_id[members])))
@@ -558,14 +559,14 @@ def nms_2to3D(dets, thresh):
     coords = dets[:, :4]
     scores = dets[:, -2]
     slice_id = dets[:, -1]
-    iou = _legacy_iou_matrix(coords, dim=2)
+    areas = (coords[:, 2] - coords[:, 0] + 1) * (coords[:, 3] - coords[:, 1] + 1)
 
     keep, keep_z = [], []
     consumed = np.zeros(len(scores), bool)
     for seed in scores.argsort()[::-1]:
         if consumed[seed]:
             continue
-        overlapping = ~consumed & (iou[seed] > thresh)
+        overlapping = ~consumed & (_legacy_iou_row(coords, areas, seed, dim=2) > thresh)
         lo, hi = _contiguous_slice_run(slice_id[overlapping], slice_id[seed])
         members = overlapping & (slice_id >= lo) & (slice_id <= hi)
         consumed |= members

@@ -178,10 +178,19 @@ class TestPadNdImage:
 @pytest.fixture(scope="module")
 def toy_dataset(tmp_path_factory):
     root = tmp_path_factory.mktemp("toy")
-    sys.path.insert(0, "/root/repo/experiments/toy_exp")
-    from experiments.toy_exp.generate_toys import generate_experiment
+    # import by explicit file path: the package import `experiments.*` is
+    # order-dependent — parity tests that sys.path the mounted reference
+    # first would shadow it with the REFERENCE's generate_toys (different
+    # signature), an ordering flake hit when running test subsets
+    import importlib.util
 
-    generate_experiment(str(root), "donuts_shape", n_train_images=24, n_test_images=6, mode="donuts_shape")
+    spec = importlib.util.spec_from_file_location(
+        "_repo_generate_toys", "/root/repo/experiments/toy_exp/generate_toys.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    mod.generate_experiment(str(root), "donuts_shape", n_train_images=24, n_test_images=6, mode="donuts_shape")
     return str(root)
 
 

@@ -24,7 +24,10 @@ from medicaldetectiontoolkit_tpu.ops import matching as our_matching  # noqa: E4
 @pytest.fixture(scope="module")
 def ref_mutils():
     if REF_DIR not in sys.path:
-        sys.path.insert(0, REF_DIR)
+        # APPEND, not insert(0): the reference root also contains an
+        # `experiments` package — putting it first shadows the repo's own
+        # `experiments.*` imports for every later test in the process
+        sys.path.append(REF_DIR)
     spec = importlib.util.spec_from_file_location("ref_mutils", os.path.join(REF_DIR, "utils/model_utils.py"))
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)

@@ -19,7 +19,10 @@ pytestmark = pytest.mark.skipif(not os.path.exists(REF_DIR), reason="reference n
 
 def _import_ref(name, rel):
     if REF_DIR not in sys.path:
-        sys.path.insert(0, REF_DIR)
+        # APPEND, not insert(0): the reference root also contains an
+        # `experiments` package — putting it first shadows the repo's own
+        # `experiments.*` imports for every later test in the process
+        sys.path.append(REF_DIR)
     spec = importlib.util.spec_from_file_location(name, os.path.join(REF_DIR, rel))
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
