@@ -55,23 +55,34 @@ def main():
     reclaim HBM after an in-process ResourceExhausted, so retries must start
     from a clean device state.
     """
-    batches = os.environ.get("MDT_BENCH_BATCH", "8,6,4,2").split(",")
+    # driver-proof defaults: start at the last known-good batch (6 — batch 8
+    # has never fit v5e HBM, and a cold-cache OOM attempt costs 10-20 min of
+    # compile before failing), and bound each attempt's wall clock so one
+    # wedged attempt can't eat the driver's whole budget.
+    batches = os.environ.get("MDT_BENCH_BATCH", "6,4").split(",")
     if len(batches) == 1:
         return _run(int(batches[0]))
 
     import subprocess
 
+    attempt_timeout = int(os.environ.get("MDT_BENCH_ATTEMPT_TIMEOUT", 2700))
     last = ""
     for bs in batches:
         env = dict(os.environ)
         env["MDT_BENCH_BATCH"] = bs
-        res = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            capture_output=True,
-            text=True,
-            env=env,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        )
+        try:
+            res = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                capture_output=True,
+                text=True,
+                env=env,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                timeout=attempt_timeout,
+            )
+        except subprocess.TimeoutExpired:
+            print(f"# batch {bs} attempt timed out after {attempt_timeout}s", file=sys.stderr)
+            last = f"attempt timeout ({attempt_timeout}s) at batch {bs}"
+            continue
         last = (res.stdout + res.stderr).strip()
         line = next((ln for ln in res.stdout.splitlines() if ln.startswith("{")), None)
         if res.returncode == 0 and line and "bench_error" not in line:

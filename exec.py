@@ -14,6 +14,12 @@ import argparse
 import os
 import time
 
+from medicaldetectiontoolkit_tpu.parallel import maybe_initialize_distributed
+
+# multi-host bring-up must precede any backend use (it rewrites the global
+# device list); no-op unless the MDT_DIST_* env triple is set.
+maybe_initialize_distributed()
+
 import medicaldetectiontoolkit_tpu.utils.exp_utils as utils
 from medicaldetectiontoolkit_tpu.evaluator import Evaluator
 from medicaldetectiontoolkit_tpu.models import build_model

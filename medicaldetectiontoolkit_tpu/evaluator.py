@@ -159,163 +159,191 @@ class Evaluator:
         if n_fn:
             emit([0] * n_fn, 1, "det_fn")
 
+    # ---- score-level dispatch (one (subframe, scores, fold-means) recipe
+    #      per level; return_metrics just walks the class x level product) ---
+
+    def _roi_subframe(self, cl_df):
+        return cl_df[cl_df.det_type != "patient_tn"]
+
+    def _patient_subframe(self, cl_df):
+        return cl_df.groupby(["pid"], as_index=False).agg(
+            {"class_label": "max", "pred_score": "max", "fold": "first"}
+        )
+
+    def _roi_scores(self, spec_df):
+        return {
+            "ap": get_roi_ap_from_df([spec_df, self.cf.min_det_thresh, self.cf.per_patient_ap]),
+            "auc": 0, "roc": None, "prc": None,
+        }
+
+    def _patient_scores(self, spec_df):
+        """Binary patient-level metrics; a metric is NaN when its input is
+        degenerate (single class for AUC/ROC, no positives for AP/PRC)."""
+        labels = spec_df.class_label.tolist()
+        scores = spec_df.pred_score.tolist()
+        out = {"auc": np.nan, "roc": np.nan, "ap": np.nan, "prc": np.nan}
+        if len(set(labels)) > 1:
+            out["auc"] = roc_auc_score(labels, scores)
+            out["roc"] = roc_curve(labels, scores)
+        if 1 in labels:
+            out["ap"] = average_precision_score(labels, scores)
+            out["prc"] = precision_recall_curve(labels, scores)
+        return out
+
+    def _roi_fold_means(self, spec_df, folds):
+        per_fold = [
+            get_roi_ap_from_df([spec_df[spec_df.fold == f], self.cf.min_det_thresh, self.cf.per_patient_ap])
+            for f in folds
+        ]
+        return {"mean_ap": np.mean(per_fold), "mean_auc": 0}
+
+    def _patient_fold_means(self, spec_df, folds):
+        fold_scores = [self._patient_scores(spec_df[spec_df.fold == f]) for f in folds]
+        valid_aucs = [s["auc"] for s in fold_scores if not np.isnan(s["auc"])]
+        valid_aps = [s["ap"] for s in fold_scores if not np.isnan(s["ap"])]
+        return {
+            "mean_auc": np.mean(valid_aucs) if valid_aucs else np.nan,
+            "mean_ap": np.mean(valid_aps) if valid_aps else np.nan,
+        }
+
+    _LEVELS = {
+        "rois": (_roi_subframe, _roi_scores, _roi_fold_means),
+        "patient": (_patient_subframe, _patient_scores, _patient_fold_means),
+    }
+
+    def _update_monitor(self, monitor_metrics, level, cl, stats):
+        """Append this (level, class) AP — and AUC on patient level — to the
+        epoch-series dict. Non-positive / NaN values record as None (the model
+        selector skips them). Patient-level series only track
+        cf.patient_class_of_interest."""
+        if level == "patient" and cl != self.cf.patient_class_of_interest:
+            return
+        series = "patient" if level == "patient" else self.cf.class_dict[cl]
+        monitor_metrics[series + "_ap"].append(stats["ap"] if stats["ap"] > 0 else None)
+        if level == "patient":
+            monitor_metrics[series + "_auc"].append(stats["auc"] if stats["auc"] > 0 else None)
+
+    def _plot_hist(self, spec_df, level, cl):
+        from medicaldetectiontoolkit_tpu import plotting
+
+        fname = "pred_hist_{}_{}_{}_cl{}".format(
+            getattr(self.cf, "fold", 0), "val" if "val" in self.mode else self.mode, level, cl
+        )
+        plotting.plot_prediction_hist(
+            spec_df.class_label.tolist(),
+            spec_df.pred_score.tolist(),
+            spec_df.det_type.tolist() if level == "rois" else None,
+            os.path.join(self.cf.plot_dir, fname),
+        )
+
+    def _scan_det_threshs(self, spec_df):
+        threshs = list(np.arange(0.9, 1, 0.01))
+        with ThreadPoolExecutor(max_workers=10) as pool:
+            aps = list(pool.map(get_roi_ap_from_df, [[spec_df, t, self.cf.per_patient_ap] for t in threshs]))
+        self.logger.info(f"results from scanning over det_threshs: {[list(p) for p in zip(threshs, aps)]}")
+
+    def _perturb_selection_ties(self, monitor_metrics):
+        """Small-dataset val APs tie exactly across epochs; a <=1e-6 jitter on
+        a repeated latest value keeps epoch ranking well-defined."""
+        for sc in self.cf.model_selection_criteria:
+            series = monitor_metrics[sc]
+            if "val" in self.mode and series[-1] is not None and series.count(series[-1]) > 1:
+                series[-1] += 1e-6 * np.random.rand()
+
     def return_metrics(self, monitor_metrics=None):
         """AP/AUC per (class x score level); appends to monitor_metrics."""
         from medicaldetectiontoolkit_tpu import plotting
 
         df = self.test_df
+        folds = df.fold.unique()
         all_stats = []
         for cl in list(self.cf.class_dict.keys()):
             cl_df = df[df.pred_class == cl]
-            for score_level in self.cf.report_score_level:
-                stats_dict = {"name": f"fold_{getattr(self.cf, 'fold', 0)} {score_level} cl_{cl}"}
+            for level in self.cf.report_score_level:
+                subframe, scores, fold_means = self._LEVELS[level]
+                spec_df = subframe(self, cl_df)
+                stats = {"name": f"fold_{getattr(self.cf, 'fold', 0)} {level} cl_{cl}"}
+                stats.update(scores(self, spec_df))
+                if len(folds) > 1:
+                    stats.update(fold_means(self, spec_df, folds))
+                all_stats.append(stats)
 
-                if score_level == "rois":
-                    spec_df = cl_df[cl_df.det_type != "patient_tn"]
-                    stats_dict["ap"] = get_roi_ap_from_df([spec_df, self.cf.min_det_thresh, self.cf.per_patient_ap])
-                    stats_dict["auc"] = 0
-                    stats_dict["roc"] = None
-                    stats_dict["prc"] = None
-                    if len(df.fold.unique()) > 1:
-                        aps = [
-                            get_roi_ap_from_df([spec_df[spec_df.fold == fold], self.cf.min_det_thresh, self.cf.per_patient_ap])
-                            for fold in df.fold.unique()
-                        ]
-                        stats_dict["mean_ap"] = np.mean(aps)
-                        stats_dict["mean_auc"] = 0
-
-                if score_level == "patient":
-                    spec_df = cl_df.groupby(["pid"], as_index=False).agg(
-                        {"class_label": "max", "pred_score": "max", "fold": "first"}
-                    )
-                    if len(spec_df.class_label.unique()) > 1:
-                        stats_dict["auc"] = roc_auc_score(spec_df.class_label.tolist(), spec_df.pred_score.tolist())
-                        stats_dict["roc"] = roc_curve(spec_df.class_label.tolist(), spec_df.pred_score.tolist())
-                    else:
-                        stats_dict["auc"] = np.nan
-                        stats_dict["roc"] = np.nan
-                    if (spec_df.class_label == 1).any():
-                        stats_dict["ap"] = average_precision_score(
-                            spec_df.class_label.tolist(), spec_df.pred_score.tolist()
-                        )
-                        stats_dict["prc"] = precision_recall_curve(
-                            spec_df.class_label.tolist(), spec_df.pred_score.tolist()
-                        )
-                    else:
-                        stats_dict["ap"] = np.nan
-                        stats_dict["prc"] = np.nan
-                    if len(df.fold.unique()) > 1:
-                        aucs, aps = [], []
-                        for fold in df.fold.unique():
-                            fold_df = spec_df[spec_df.fold == fold]
-                            if len(fold_df.class_label.unique()) > 1:
-                                aucs.append(roc_auc_score(fold_df.class_label.tolist(), fold_df.pred_score.tolist()))
-                            if (fold_df.class_label == 1).any():
-                                aps.append(
-                                    average_precision_score(fold_df.class_label.tolist(), fold_df.pred_score.tolist())
-                                )
-                        stats_dict["mean_auc"] = np.mean(aucs) if aucs else np.nan
-                        stats_dict["mean_ap"] = np.mean(aps) if aps else np.nan
-
-                if monitor_metrics is not None and not (
-                    score_level == "patient" and cl != self.cf.patient_class_of_interest
-                ):
-                    score_level_name = "patient" if score_level == "patient" else self.cf.class_dict[cl]
-                    monitor_metrics[score_level_name + "_ap"].append(stats_dict["ap"] if stats_dict["ap"] > 0 else None)
-                    if score_level == "patient":
-                        monitor_metrics[score_level_name + "_auc"].append(
-                            stats_dict["auc"] if stats_dict["auc"] > 0 else None
-                        )
-
+                if monitor_metrics is not None:
+                    self._update_monitor(monitor_metrics, level, cl, stats)
                 if self.cf.plot_prediction_histograms:
-                    out_filename = os.path.join(
-                        self.cf.plot_dir,
-                        "pred_hist_{}_{}_{}_cl{}".format(
-                            getattr(self.cf, "fold", 0), "val" if "val" in self.mode else self.mode, score_level, cl
-                        ),
-                    )
-                    type_list = None if score_level == "patient" else spec_df.det_type.tolist()
-                    plotting.plot_prediction_hist(
-                        spec_df.class_label.tolist(), spec_df.pred_score.tolist(), type_list, out_filename
-                    )
-
-                all_stats.append(stats_dict)
-
+                    self._plot_hist(spec_df, level, cl)
                 if self.cf.scan_det_thresh:
-                    conf_threshs = list(np.arange(0.9, 1, 0.01))
-                    with ThreadPoolExecutor(max_workers=10) as pool:
-                        aps = list(
-                            pool.map(get_roi_ap_from_df, [[spec_df, ii, self.cf.per_patient_ap] for ii in conf_threshs])
-                        )
-                    self.logger.info(
-                        "results from scanning over det_threshs: {}".format([[i, j] for i, j in zip(conf_threshs, aps)])
-                    )
+                    self._scan_det_threshs(spec_df)
 
         if self.cf.plot_stat_curves:
             out_filename = os.path.join(self.cf.plot_dir, f"{getattr(self.cf, 'fold', 0)}_{self.mode}_stat_curves")
             plotting.plot_stat_curves(all_stats, out_filename)
 
-        # average over foreground classes on roi level
-        avg_ap = np.mean([d["ap"] for d in all_stats if "rois" in d["name"]])
-        all_stats.append({"name": "average_foreground_roi", "auc": 0, "ap": avg_ap})
-        if len(df.fold.unique()) > 1:
-            all_stats[-1]["mean_ap"] = np.mean([d["mean_ap"] for d in all_stats[:-1] if "rois" in d["name"]])
-            all_stats[-1]["mean_auc"] = 0
+        # foreground-average summary row over roi-level entries
+        roi_rows = [d for d in all_stats if "rois" in d["name"]]
+        summary = {"name": "average_foreground_roi", "auc": 0, "ap": np.mean([d["ap"] for d in roi_rows])}
+        if len(folds) > 1:
+            summary["mean_ap"] = np.mean([d["mean_ap"] for d in roi_rows])
+            summary["mean_auc"] = 0
+        all_stats.append(summary)
 
-        # perturb ties so small-dataset model selection stays rankable
         if monitor_metrics is not None:
-            for sc in self.cf.model_selection_criteria:
-                if (
-                    "val" in self.mode
-                    and monitor_metrics[sc].count(monitor_metrics[sc][-1]) > 1
-                    and monitor_metrics[sc][-1] is not None
-                ):
-                    monitor_metrics[sc][-1] += 1e-6 * np.random.rand()
+            self._perturb_selection_ties(monitor_metrics)
 
         return all_stats, monitor_metrics
 
+    @staticmethod
+    def _stat_line(s, with_means=False, suffix=""):
+        if with_means:
+            line = "AUC {:0.4f} (mu {:0.4f})  AP {:0.4f} (mu {:0.4f})  {}".format(
+                s["auc"], s.get("mean_auc", 0), s["ap"], s.get("mean_ap", 0), s["name"]
+            )
+            return line + (f" {suffix}" if suffix else "")
+        return "AUC {:0.4f}  AP {:0.4f} {}".format(s["auc"], s["ap"], s["name"])
+
+    def _banner(self, handle, title, df_label):
+        handle.write("\n****************************\n")
+        handle.write(f"\n{title} \n")
+        handle.write("\n****************************\n")
+        handle.write(f"\n{df_label} {self.test_df.shape}\n  \n")
+
     def score_test_df(self, internal_df=True):
         """Write fold results to results.txt; aggregate across folds if done."""
+        results_path = os.path.join(self.cf.exp_dir, "results.txt")
         if internal_df:
-            self.test_df.to_pickle(os.path.join(self.cf.exp_dir, f"{getattr(self.cf, 'fold', 0)}_test_df.pickle"))
+            fold = getattr(self.cf, "fold", 0)
+            self.test_df.to_pickle(os.path.join(self.cf.exp_dir, f"{fold}_test_df.pickle"))
             stats, _ = self.return_metrics()
-            with open(os.path.join(self.cf.exp_dir, "results.txt"), "a") as handle:
-                handle.write("\n****************************\n")
-                handle.write(f"\nresults for fold {getattr(self.cf, 'fold', 0)} \n")
-                handle.write("\n****************************\n")
-                handle.write(f"\nfold df shape {self.test_df.shape}\n  \n")
+            with open(results_path, "a") as handle:
+                self._banner(handle, f"results for fold {fold}", "fold df shape")
                 for s in stats:
-                    handle.write("AUC {:0.4f}  AP {:0.4f} {} \n".format(s["auc"], s["ap"], s["name"]))
+                    handle.write(self._stat_line(s) + " \n")
 
-        fold_df_paths = [ii for ii in os.listdir(self.cf.exp_dir) if "test_df.pickle" in ii]
-        if len(fold_df_paths) == self.cf.n_cv_splits:
-            with open(os.path.join(self.cf.exp_dir, "results.txt"), "a") as handle:
-                self.cf.fold = "overall"
-                dfs_list = [pd.read_pickle(os.path.join(self.cf.exp_dir, ii)) for ii in fold_df_paths]
-                for ix, df in enumerate(dfs_list):
-                    df["fold"] = ix
-                self.test_df = pd.concat(dfs_list)
-                stats, _ = self.return_metrics()
-                handle.write("\n****************************\n")
-                handle.write("\nOVERALL RESULTS \n")
-                handle.write("\n****************************\n")
-                handle.write(f"\ndf shape {self.test_df.shape}\n  \n")
-                for s in stats:
-                    handle.write(
-                        "\nAUC {:0.4f} (mu {:0.4f})  AP {:0.4f} (mu {:0.4f})  {}\n ".format(
-                            s["auc"], s.get("mean_auc", 0), s["ap"], s.get("mean_ap", 0), s["name"]
-                        )
-                    )
-                results_table_path = os.path.join(os.path.dirname(self.cf.exp_dir.rstrip("/")), "results_table.txt")
-                with open(results_table_path, "a") as handle2:
-                    for s in stats:
-                        handle2.write(
-                            "\nAUC {:0.4f} (mu {:0.4f})  AP {:0.4f} (mu {:0.4f})  {} {}".format(
-                                s["auc"], s.get("mean_auc", 0), s["ap"], s.get("mean_ap", 0), s["name"],
-                                os.path.basename(self.cf.exp_dir.rstrip("/")),
-                            )
-                        )
-                    handle2.write("\n")
+        fold_dfs = sorted(f for f in os.listdir(self.cf.exp_dir) if "test_df.pickle" in f)
+        if len(fold_dfs) != self.cf.n_cv_splits:
+            return  # not every fold has finished yet
+
+        # all folds done: rebuild the cross-fold df and emit the overall block
+        self.cf.fold = "overall"
+        frames = []
+        for ix, fname in enumerate(fold_dfs):
+            frame = pd.read_pickle(os.path.join(self.cf.exp_dir, fname))
+            frame["fold"] = ix
+            frames.append(frame)
+        self.test_df = pd.concat(frames)
+        stats, _ = self.return_metrics()
+
+        with open(results_path, "a") as handle:
+            self._banner(handle, "OVERALL RESULTS", "df shape")
+            for s in stats:
+                handle.write("\n" + self._stat_line(s, with_means=True) + "\n ")
+
+        exp_name = os.path.basename(self.cf.exp_dir.rstrip("/"))
+        table_path = os.path.join(os.path.dirname(self.cf.exp_dir.rstrip("/")), "results_table.txt")
+        with open(table_path, "a") as handle:
+            for s in stats:
+                handle.write("\n" + self._stat_line(s, with_means=True, suffix=exp_name))
+            handle.write("\n")
 
 
 def get_roi_ap_from_df(inputs):

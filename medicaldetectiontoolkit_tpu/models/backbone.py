@@ -138,12 +138,81 @@ class _ZFoldedConv(nn.Module):
         return out[..., :z_out, :]
 
 
+def _zband_policy(cin: int, z_len: int, ks: int) -> bool:
+    """Full-z banding pays only for TINY input channel counts.
+
+    The banded GEMM inflates FLOPs by ~z/ks (band density) but gets MXU-shaped
+    contractions (K = z*cin, N = z_out*cout) instead of XLA's lane-padded
+    small-channel 3D conv. At cin<=4 the inflated FLOPs are still trivially
+    small in absolute terms (<=120 GFLOP at LIDC stem geometry) while the
+    XLA path is bandwidth/relayout-bound; at cin>=18 the inflation reaches
+    TFLOP scale and cancels the win — those stay on the z-fold path.
+    """
+    return cin <= 4 and z_len >= 32 and ks >= 3
+
+
+class _ZBandedConv(nn.Module):
+    """3D conv computed as a 2D conv with the ENTIRE z axis folded into the
+    contraction: out[..., zo, co] = sum_{zi, ci} x[..., zi, ci] * T[zi*ci, zo*co]
+    with T z-banded from the logical kernel
+    (``T[(zi,ci),(zo,co)] = w[dy,dx, zi - sz*zo + p, ci, co]``, zero off-band).
+
+    Mathematically exact reformulation of ``nn.Conv`` for SAME-style padding
+    (pad == ks//2 on z): the z padding is implicit in the band (contributions
+    from zi outside [0, Z) simply don't exist). Param names/shapes are
+    identical to ``nn.Conv`` — checkpoints interchange with the unfolded and
+    z-folded paths, and gradients flow to the logical params through the
+    band gather (no custom VJP needed).
+
+    Why: for cin<=4 the minor (lane) dims XLA sees in a 3D conv are 1-4 wide
+    and pad to 128 (round-2's binding constraint). Here the 2D conv's input
+    channel dim is Z*cin (64-256) and its output dim is Zo*cout (~1152 at
+    LIDC stem geometry) — both MXU-tileable, no 32x lane padding anywhere.
+    """
+
+    features: int
+    ks: int
+    stride: tuple  # (sy, sx, sz)
+    pad: int
+    kernel_init: object
+    dtype: object
+
+    @nn.compact
+    def __call__(self, x):
+        k, p = self.ks, self.pad
+        sy, sx, sz = self.stride
+        Z, cin = x.shape[-2], x.shape[-1]
+        cout = self.features
+        w = self.param("kernel", self.kernel_init, (k, k, k, cin, cout), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (cout,), jnp.float32)
+
+        zo = -(-Z // sz)  # SAME: ceil(Z / sz)
+        dz = jnp.arange(Z)[:, None] - sz * jnp.arange(zo)[None, :] + p  # (Z, zo)
+        wg = w[:, :, jnp.clip(dz, 0, k - 1), :, :]  # (k, k, Z, zo, cin, cout)
+        wg = jnp.where(((dz >= 0) & (dz < k))[None, None, :, :, None, None], wg, 0.0)
+        # (k, k, Z, cin, zo, cout) -> (k, k, Z*cin, zo*cout)
+        w2 = wg.transpose(0, 1, 2, 4, 3, 5).reshape(k, k, Z * cin, zo * cout)
+
+        x2 = x.reshape(x.shape[:-2] + (Z * cin,))  # z-minor, channel-last: free
+        out = jax.lax.conv_general_dilated(
+            x2.astype(self.dtype),
+            w2.astype(self.dtype),
+            window_strides=(sy, sx),
+            padding=[(p, p), (p, p)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        out = out + jnp.tile(b, zo).astype(self.dtype)
+        return out.reshape(out.shape[:-1] + (zo, cout))
+
+
 class ConvND(nn.Module):
     """conv + optional norm + optional nonlinearity; the NDConvGenerator analog
     (``utils/model_utils.py:732-781``), rank-polymorphic via ``dim``.
 
     ``zfold``: 0 = auto (z space-to-depth fold small-channel 3D convs on TPU
-    backends, see ``_zfold_policy``), 1 = never, >1 = explicit factor."""
+    backends, see ``_zfold_policy``; tiny-cin 3D convs upgrade further to the
+    full-z banded path, see ``_zband_policy``), 1 = never, >1 = explicit
+    factor. ``zband``: None = auto, True/False = force."""
 
     dim: int
     features: int
@@ -155,14 +224,34 @@ class ConvND(nn.Module):
     weight_init: Optional[str] = None
     dtype: object = jnp.float32
     zfold: int = 0
+    zband: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x):
         stride = self.stride if isinstance(self.stride, (tuple, list)) else (self.stride,) * self.dim
         stride = tuple(stride)
+        # Both z reformulations assume nn.Conv's SAME geometry (z_out =
+        # ceil(Z/s), zero right-pad), which only equals explicit padding when
+        # pad == ks//2. Every current call site satisfies this; other
+        # geometries fall back to nn.Conv rather than silently diverging.
+        same_geom = self.pad == self.ks // 2
+        band = self.zband
+        if band is None:
+            band = (
+                self.dim == 3 and _zfold_backend_default()
+                and _zband_policy(x.shape[-1], x.shape[-2], self.ks)
+            )
+        if band and self.dim == 3 and same_geom:
+            x = _ZBandedConv(
+                features=self.features, ks=self.ks, stride=stride, pad=self.pad,
+                kernel_init=_kinit(self.weight_init), dtype=self.dtype, name="Conv_0",
+            )(x)
+            return self._finish(x)
         f = self.zfold
         if f == 0 and _zfold_backend_default():
             f = _zfold_policy(x.shape[-1], self.features, x.shape[-2], self.ks, stride[-1])
+        if f > 1 and not same_geom:
+            f = 1
         if f > 1:
             x = _ZFoldedConv(
                 dim=self.dim, features=self.features, ks=self.ks, stride=stride,
@@ -178,6 +267,9 @@ class ConvND(nn.Module):
                 kernel_init=_kinit(self.weight_init),
                 dtype=self.dtype,
             )(x)
+        return self._finish(x)
+
+    def _finish(self, x):
         if self.norm == "instance_norm":
             x = nn.GroupNorm(num_groups=None, group_size=1, dtype=self.dtype)(x)
         elif self.norm == "batch_norm":

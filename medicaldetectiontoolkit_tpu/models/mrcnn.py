@@ -534,13 +534,36 @@ class MaskRCNNDetector(base.Detector):
         return maps, rpn_logits, rpn_deltas, seg_logits, rois_norm, out_proposals, prop_valid
 
     def _second_stage_all(self, params, maps, rois_norm):
-        """Stop-gradient pass over ALL proposals (monitoring + sampling)."""
+        """Stop-gradient pass over ALL proposals (monitoring + sampling).
+
+        The reference bounds this pass's memory with ``cf.roi_chunk_size``
+        (``models/mrcnn.py:1026-1035``: chunks of 600 rois in 3D) because
+        b*post_nms_rois pooled features through two FC heads is the HBM peak.
+        Here the same plan is a ``lax.map`` over fixed-size roi chunks: the
+        classifier body compiles once and XLA reuses one chunk's activations
+        per iteration. No gradient flows here, so the loop adds no remat cost.
+        """
         bsz, P = rois_norm.shape[:2]
         flat_rois = rois_norm.reshape(-1, rois_norm.shape[-1])
         batch_ix = jnp.repeat(jnp.arange(bsz, dtype=jnp.int32), P)
-        logits, bbox = self.module.apply(
-            {"params": params}, maps, flat_rois, batch_ix, method=self.module.classify_rois
-        )
+
+        def classify(rois, bix):
+            return self.module.apply(
+                {"params": params}, maps, rois, bix, method=self.module.classify_rois
+            )
+
+        chunk = getattr(self.cf, "roi_chunk_size", None)
+        R = flat_rois.shape[0]
+        if chunk and R > chunk:
+            pad = (-R) % chunk
+            rois_c = jnp.pad(flat_rois, ((0, pad), (0, 0))).reshape(-1, chunk, flat_rois.shape[-1])
+            bix_c = jnp.pad(batch_ix, (0, pad)).reshape(-1, chunk)
+            logits, bbox = jax.lax.map(lambda ab: classify(*ab), (rois_c, bix_c))
+            logits, bbox = jax.tree.map(
+                lambda a: a.reshape((-1,) + a.shape[2:])[:R], (logits, bbox)
+            )
+        else:
+            logits, bbox = classify(flat_rois, batch_ix)
         return jax.lax.stop_gradient(logits), jax.lax.stop_gradient(bbox), flat_rois, batch_ix
 
     def _detections_and_masks(self, params, maps, flat_rois, batch_ix, logits, bbox, bsz, with_masks: bool):

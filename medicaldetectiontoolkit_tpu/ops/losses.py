@@ -37,6 +37,10 @@ def softmax_ce(logits, labels):
     The label pick is a one-hot multiply-sum, not take_along_axis: a gather
     indexed by a ~674k-element label vector costs tens of ms on TPU while the
     masked sum over the (small) class dim is a fused VPU pass.
+
+    Labels outside [0, n_classes) contribute ZERO loss (no class matches the
+    one-hot sum) — unlike a clamped take_along_axis. Callers that want clamp
+    semantics must clamp first (all current callers do, via jnp.maximum).
     """
     logp = jax.nn.log_softmax(logits, axis=-1)
     lab = labels.astype(jnp.int32)
@@ -77,12 +81,14 @@ def shem_select(rng, fg_scores, neg_mask, n_pos, max_count: int, poolsize: int):
     negative_count = jnp.minimum(negative_count, n_neg_avail)
 
     # static pool bound: only the top poolsize*max_count negatives can ever be
-    # in the pool, so a top-k replaces a full argsort (stochastic_top_k: the
-    # pool is sampled uniformly afterwards, so the approx pool boundary on
-    # large anchor counts is immaterial and saves the full-sort lowering).
+    # in the pool, so a top-k replaces a full argsort. Exact top-k, not
+    # approx_max_k: hard negatives cluster spatially around objects, and
+    # approx_max_k keeps one max per positional bin — clustered hard negatives
+    # would be systematically dropped from the pool, breaking the reference's
+    # exact top-(poolsize*count) SHEM contract.
     k_pool = min(poolsize * max_count, N)
     score_key = jnp.where(neg_mask, fg_scores, -jnp.inf)
-    pool_vals, pool_idx = topk_ops.stochastic_top_k(score_key, k_pool)  # descending
+    pool_vals, pool_idx = jax.lax.top_k(score_key, k_pool)  # descending
     in_pool = (jnp.arange(k_pool) < poolsize * negative_count) & (pool_vals > -jnp.inf)
 
     # uniform draw of negative_count from the pool (again via top-k)

@@ -12,5 +12,6 @@ from medicaldetectiontoolkit_tpu.parallel.mesh import (  # noqa: F401
     host_shard_info,
     make_data_parallel_predict,
     make_data_parallel_step,
+    maybe_initialize_distributed,
     shard_batch,
 )

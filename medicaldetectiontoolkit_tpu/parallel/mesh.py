@@ -10,6 +10,8 @@ feed per host; nothing in the step function changes.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -47,10 +49,35 @@ def batch_sharded(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, *arrays, axis_name: str = DATA_AXIS):
-    """Place host arrays on the mesh, sharded along their leading axis."""
+    """Place host arrays on the mesh, sharded along their leading axis.
+
+    Single process: a plain device_put split. Multi-host (after
+    ``maybe_initialize_distributed``): each process passes its PROCESS-LOCAL
+    slice (the host's own data-loader output, ``host_shard_info`` rank-sliced)
+    and the global array is assembled across hosts — the global batch is
+    ``process_count * local_batch``.
+    """
     sh = batch_sharded(mesh, axis_name)
-    out = tuple(jax.device_put(a, sh) for a in arrays)
+    if jax.process_count() > 1:
+        out = tuple(
+            jax.make_array_from_process_local_data(sh, np.asarray(a)) for a in arrays
+        )
+    else:
+        out = tuple(jax.device_put(a, sh) for a in arrays)
     return out if len(out) > 1 else out[0]
+
+
+def replicate_tree(mesh: Mesh, tree):
+    """Replicate a pytree of host/device arrays onto every device of a
+    (possibly multi-host) mesh. Multi-host replication requires every process
+    to supply the same full value (deterministic same-seed init guarantees
+    this for params/opt_state)."""
+    sh = replicated(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda a: jax.make_array_from_process_local_data(sh, np.asarray(a)), tree
+        )
+    return jax.tree_util.tree_map(lambda a: jax.device_put(a, sh), tree)
 
 
 def make_data_parallel_step(detector, mesh: Mesh, axis_name: str = DATA_AXIS):
@@ -105,6 +132,36 @@ def make_data_parallel_predict(detector, mesh: Mesh, axis_name: str = DATA_AXIS)
         out_shardings=data if n_outs == 1 else (data,) * n_outs,
         static_argnames=static,
     )
+
+
+def maybe_initialize_distributed(logger=None):
+    """Opt-in multi-host bring-up: ``jax.distributed.initialize`` from env.
+
+    The reference's analog is torch.nn.DataParallel (single host); the TPU
+    story is SPMD over a global mesh with one process per host
+    (scaling-book recipe). Env contract (all three required to opt in):
+
+      MDT_DIST_COORD=host:port   coordinator address (process 0's host)
+      MDT_DIST_NPROCS=N          number of processes in the job
+      MDT_DIST_RANK=i            this process's id
+
+    Must be called before any JAX backend use (exec.py calls it first).
+    After it runs, ``jax.devices()`` is the global device list, meshes built
+    by ``get_mesh`` span all hosts, and ``host_shard_info`` feeds each host
+    its own patient shard. Returns True iff distributed mode was initialized.
+    """
+    coord = os.environ.get("MDT_DIST_COORD")
+    nprocs = os.environ.get("MDT_DIST_NPROCS")
+    rank = os.environ.get("MDT_DIST_RANK")
+    if not (coord and nprocs and rank):
+        return False
+    jax.distributed.initialize(coord, num_processes=int(nprocs), process_id=int(rank))
+    if logger is not None:
+        logger.info(
+            "jax.distributed initialized: rank %s/%s @ %s (%d global / %d local devices)",
+            rank, nprocs, coord, len(jax.devices()), len(jax.local_devices()),
+        )
+    return True
 
 
 def host_shard_info(cf=None):

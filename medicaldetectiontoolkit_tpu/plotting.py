@@ -130,6 +130,61 @@ def plot_batch_prediction(batch, results_dict, cf, outfile=None):
     plt.close(fig)
 
 
+_MONITOR_PALETTE = ["b", "c", "r", "purple", "m", "y", "k", "tab:gray"]
+# (split, linestyle) per curve family: train dashed, val solid — the artifact
+# contract every downstream reader of monitor_*.png expects
+_MONITOR_SPLITS = (("train", "--"), ("val", "-"))
+
+
+def _series_for_key(metrics, split, key, epochs):
+    """Epoch series for one monitored quantity.
+
+    Loss-like keys live directly in metrics[split] (one value per epoch,
+    slot 0 unused); detection metrics live under 'monitor_values' as
+    per-batch dict lists to be averaged per epoch. Missing epochs (e.g. val
+    epochs that didn't run) become NaN so matplotlib gaps them.
+    """
+    split_d = metrics[split]
+    if key in split_d:
+        ys = split_d[key][1:]
+    else:
+        per_epoch = split_d["monitor_values"]
+        ys = [
+            np.mean([rec[key] for rec in per_epoch[e]]) if per_epoch[e] else np.nan
+            for e in epochs
+        ]
+    return [np.nan if v is None else v for v in ys]
+
+
+def _keys_for_figure(metrics, figure_ix, separate_values_dict):
+    """Figure 0 gets every quantity not claimed by an extra figure; extra
+    figures get exactly their configured key lists."""
+    if figure_ix != 0:
+        return list(separate_values_dict[figure_ix])
+    claimed = {v for keys in separate_values_dict.values() for v in keys}
+    batch_keys = [k for k in metrics["train"]["monitor_values"][1][0] if k not in claimed]
+    loss_keys = [k for k in metrics["train"] if k != "monitor_values"]
+    return batch_keys + loss_keys
+
+
+def detection_monitoring_plot(ax1, metrics, exp_name, color_palette, epoch, figure_ix, separate_values_dict, do_validation):
+    epochs = np.arange(1, epoch + 1)
+    n_splits = 2 if do_validation else 1
+    for kix, key in enumerate(_keys_for_figure(metrics, figure_ix, separate_values_dict)):
+        color = color_palette[kix % len(color_palette)]
+        for split, style in _MONITOR_SPLITS[:n_splits]:
+            ax1.plot(
+                epochs, _series_for_key(metrics, split, key, epochs),
+                label=f"{split}_{key}", linestyle=style, color=color,
+            )
+    if epoch == 1:
+        # one-time legend column to the right of a narrowed axis
+        box = ax1.get_position()
+        ax1.set_position([box.x0, box.y0, box.width * 0.8, box.height])
+        ax1.legend(loc="center left", bbox_to_anchor=(1, 0.5))
+        ax1.set_title(exp_name)
+
+
 class TrainingPlot2Panel:
     """Per-epoch loss/metric curve figure(s), saved after every epoch."""
 
@@ -138,17 +193,19 @@ class TrainingPlot2Panel:
         self.exp_name = getattr(cf, "fold_dir", cf.plot_dir)
         self.do_validation = cf.do_validation
         self.separate_values_dict = cf.assign_values_to_extra_figure
-        self.figure_list = []
-        for _ in range(cf.n_monitoring_figures):
-            fig = plt.figure(figsize=(10, 6))
-            fig.ax1 = plt.subplot(111)
-            fig.ax1.set_xlabel("epochs")
-            fig.ax1.set_ylabel("loss / metrics")
-            fig.ax1.set_xlim(0, cf.num_epochs)
-            fig.ax1.grid()
-            self.figure_list.append(fig)
+        self.color_palette = _MONITOR_PALETTE
+        self.figure_list = [self._new_monitor_figure(cf) for _ in range(cf.n_monitoring_figures)]
         self.figure_list[0].ax1.set_ylim(0, 1.5)
-        self.color_palette = ["b", "c", "r", "purple", "m", "y", "k", "tab:gray"]
+
+    @staticmethod
+    def _new_monitor_figure(cf):
+        fig = plt.figure(figsize=(10, 6))
+        fig.ax1 = plt.subplot(111)
+        fig.ax1.set_xlabel("epochs")
+        fig.ax1.set_ylabel("loss / metrics")
+        fig.ax1.set_xlim(0, cf.num_epochs)
+        fig.ax1.grid()
+        return fig
 
     def update_and_save(self, metrics, epoch):
         for figure_ix, fig in enumerate(self.figure_list):
@@ -159,55 +216,23 @@ class TrainingPlot2Panel:
             fig.savefig(self.file_name + f"_{figure_ix}")
 
 
-def detection_monitoring_plot(ax1, metrics, exp_name, color_palette, epoch, figure_ix, separate_values_dict, do_validation):
-    monitor_values_keys = metrics["train"]["monitor_values"][1][0].keys()
-    separate_values = [v for fig_ix in separate_values_dict.values() for v in fig_ix]
-    if figure_ix == 0:
-        plot_keys = [ii for ii in monitor_values_keys if ii not in separate_values]
-        plot_keys += [k for k in metrics["train"].keys() if k != "monitor_values"]
-    else:
-        plot_keys = separate_values_dict[figure_ix]
-
-    x = np.arange(1, epoch + 1)
-    for kix, pk in enumerate(plot_keys):
-        if pk in metrics["train"].keys():
-            y_train = metrics["train"][pk][1:]
-            y_val = metrics["val"][pk][1:] if do_validation else None
-        else:
-            y_train = [np.mean([er[pk] for er in metrics["train"]["monitor_values"][e]]) for e in x]
-            y_val = (
-                [np.mean([er[pk] for er in metrics["val"]["monitor_values"][e]]) if metrics["val"]["monitor_values"][e] else np.nan for e in x]
-                if do_validation
-                else None
-            )
-        color = color_palette[kix % len(color_palette)]
-        ax1.plot(x, [np.nan if v is None else v for v in y_train], label=f"train_{pk}", linestyle="--", color=color)
-        if do_validation:
-            ax1.plot(x, [np.nan if v is None else v for v in y_val], label=f"val_{pk}", linestyle="-", color=color)
-
-    if epoch == 1:
-        box = ax1.get_position()
-        ax1.set_position([box.x0, box.y0, box.width * 0.8, box.height])
-        ax1.legend(loc="center left", bbox_to_anchor=(1, 0.5))
-        ax1.set_title(exp_name)
-
-
 def plot_prediction_hist(label_list, pred_list, type_list, outfile):
     """Histogram of prediction scores split by tp/fp (fn appear at score 0)."""
     preds = np.array(pred_list)
     labels = np.array(label_list)
-    title = os.path.basename(outfile) + f" count:{len(label_list)}"
     plt.figure()
     plt.yscale("log")
-    if 0 in labels:
-        plt.hist(preds[labels == 0], alpha=0.3, color="g", range=(0, 1), bins=50, label="false pos.")
-    if 1 in labels:
-        plt.hist(preds[labels == 1], alpha=0.3, color="b", range=(0, 1), bins=50, label="true pos. (false neg. @ score=0)")
+    # one overlay histogram per label value present
+    for value, color, text in ((0, "g", "false pos."), (1, "b", "true pos. (false neg. @ score=0)")):
+        if value in labels:
+            plt.hist(preds[labels == value], alpha=0.3, color=color, range=(0, 1), bins=50, label=text)
+
+    title = os.path.basename(outfile) + f" count:{len(label_list)}"
     if type_list is not None:
-        fp_count = type_list.count("det_fp")
-        fn_count = type_list.count("det_fn")
-        tp_count = type_list.count("det_tp")
-        title += f" tp:{tp_count} fp:{fp_count} fn:{fn_count} pos:{fn_count + tp_count}"
+        counts = {t: type_list.count(t) for t in ("det_tp", "det_fp", "det_fn")}
+        title += " tp:{det_tp} fp:{det_fp} fn:{det_fn} pos:{pos}".format(
+            pos=counts["det_tp"] + counts["det_fn"], **counts
+        )
     plt.legend()
     plt.title(title)
     plt.xlabel("confidence score")
@@ -216,15 +241,23 @@ def plot_prediction_hist(label_list, pred_list, type_list, outfile):
     plt.close()
 
 
+# curve key -> (x-axis label, legend loc) — roc/prc tuples are (xs, ys, threshs)
+_STAT_CURVES = {"roc": ("1-spec.", 4), "prc": ("precision", 3)}
+
+
+def _curve_present(value):
+    return value is not None and not (isinstance(value, float) and np.isnan(value))
+
+
 def plot_stat_curves(stats, outfile):
-    for c in ["roc", "prc"]:
+    for curve, (xlabel, legend_loc) in _STAT_CURVES.items():
         plt.figure()
         for s in stats:
-            if s.get(c) is not None and not (isinstance(s[c], float) and np.isnan(s[c])):
-                plt.plot(s[c][0], s[c][1], label=s["name"] + "_" + c)
-        plt.title(os.path.basename(outfile) + "_" + c)
-        plt.legend(loc=3 if c == "prc" else 4)
-        plt.xlabel("precision" if c == "prc" else "1-spec.")
+            if _curve_present(s.get(curve)):
+                plt.plot(s[curve][0], s[curve][1], label=f"{s['name']}_{curve}")
+        plt.title(os.path.basename(outfile) + "_" + curve)
+        plt.legend(loc=legend_loc)
+        plt.xlabel(xlabel)
         plt.ylabel("recall")
-        plt.savefig(outfile + "_" + c)
+        plt.savefig(outfile + "_" + curve)
         plt.close()

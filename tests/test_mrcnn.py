@@ -175,6 +175,28 @@ def test_two_stage_train_and_test(model):
 
 
 @pytest.mark.slow
+def test_second_stage_chunking_matches_unchunked():
+    """roi_chunk_size-bounded lax.map pass must equal the one-shot pass up to
+    matmul-tiling accumulation order, ~1e-7 (chunk 32 does not divide R=100,
+    exercising the pad path)."""
+    cf = make_config("mrcnn", dim=2, retina_scales=False)
+    net = build_model(cf, _Log())
+    net.initialize()
+    img = jnp.asarray(np.random.RandomState(0).rand(cf.batch_size, *cf.patch_size, cf.n_channels), jnp.float32)
+    maps, *_rest, rois_norm, _props, _valid = net._first_stage(net.params, img, training=True)
+
+    cf.roi_chunk_size = None
+    logits_ref, bbox_ref, rois_ref, bix_ref = net._second_stage_all(net.params, maps, rois_norm)
+    cf.roi_chunk_size = 32
+    logits_c, bbox_c, rois_c, bix_c = net._second_stage_all(net.params, maps, rois_norm)
+
+    np.testing.assert_allclose(np.asarray(logits_ref), np.asarray(logits_c), atol=1e-5, rtol=0)
+    np.testing.assert_allclose(np.asarray(bbox_ref), np.asarray(bbox_c), atol=1e-5, rtol=0)
+    np.testing.assert_array_equal(np.asarray(rois_ref), np.asarray(rois_c))
+    np.testing.assert_array_equal(np.asarray(bix_ref), np.asarray(bix_c))
+
+
+@pytest.mark.slow
 def test_mrcnn_3d_train_step():
     cf = make_config("mrcnn", dim=3, retina_scales=False)
     net = build_model(cf, _Log())

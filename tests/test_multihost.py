@@ -1,0 +1,157 @@
+"""Multi-HOST (multi-process) tests: 2 CPU processes x 4 virtual devices form
+one 8-device global mesh via jax.distributed (gloo collectives on CPU).
+
+Proves SURVEY §2.3's DCN story end-to-end: ``maybe_initialize_distributed``
+brings up the processes, ``host_shard_info`` feeds each host a disjoint
+patient shard, and one data-parallel train step over the global mesh produces
+the same loss as the single-process run on the concatenated batch.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = """
+import os, sys
+rank = int(sys.argv[1])
+os.environ["MDT_DIST_COORD"] = sys.argv[2]
+os.environ["MDT_DIST_NPROCS"] = "2"
+os.environ["MDT_DIST_RANK"] = str(rank)
+
+from medicaldetectiontoolkit_tpu.parallel import (
+    get_mesh, host_shard_info, make_data_parallel_step,
+    maybe_initialize_distributed, shard_batch,
+)
+from medicaldetectiontoolkit_tpu.parallel.mesh import replicate_tree
+assert maybe_initialize_distributed() is True
+import jax, numpy as np
+import jax.numpy as jnp
+assert jax.process_count() == 2, jax.process_count()
+assert len(jax.devices()) == 8, len(jax.devices())
+
+from medicaldetectiontoolkit_tpu.models import build_model, base as model_base
+from medicaldetectiontoolkit_tpu.testing import make_config, make_batch
+
+class L:
+    def info(self, *a, **k): pass
+
+# host_shard_info: disjoint patient shards per host
+ids = [p for p in range(10)]
+r, w = host_shard_info()
+assert (r, w) == (rank, 2)
+mine = ids[r::w]
+print("SHARD", rank, mine, flush=True)
+
+# global batch = both ranks' halves of the same deterministic batch
+cf = make_config(model="retina_net", dim=2, batch_size=8, patch_size=[64, 64])
+net = build_model(cf, L())
+net.initialize(seed=0)
+batch = make_batch(cf)
+img = model_base.image_to_device(batch["data"])
+gt_boxes, gt_ids, gt_valid = model_base.pad_gt_boxes(
+    batch["bb_target"], batch["roi_labels"], 8, 2, cf.max_gt_boxes)
+seg = model_base.seg_to_device(batch["seg"])
+lo, hi = rank * 4, rank * 4 + 4  # this host's local slice (global batch 8)
+
+mesh = get_mesh(8)
+
+# establish the gloo context with a trivial collective BEFORE the big
+# compile: context init has a ~30 s rendezvous timeout, and compile/cache
+# skew between the two processes can exceed it; once connected, later
+# collectives block on peers without that deadline
+from jax.sharding import NamedSharding, PartitionSpec as P
+warm = jax.jit(lambda a: a.sum(), out_shardings=NamedSharding(mesh, P()))(
+    shard_batch(mesh, np.arange(16, dtype=np.float32).reshape(8, 2)[rank * 4:rank * 4 + 4]))
+assert float(warm) == 120.0, float(warm)
+
+step = make_data_parallel_step(net, mesh)
+params = replicate_tree(mesh, net.params)
+opt = replicate_tree(mesh, net.opt_state)
+rng = replicate_tree(mesh, jax.random.PRNGKey(7))
+lr = replicate_tree(mesh, jnp.float32(1e-4))
+simg, sb, si, sv, ss = shard_batch(
+    mesh, np.asarray(img)[lo:hi], np.asarray(gt_boxes)[lo:hi],
+    np.asarray(gt_ids)[lo:hi], np.asarray(gt_valid)[lo:hi], np.asarray(seg)[lo:hi])
+out = step(params, opt, rng, lr, simg, sb, si, sv, ss)
+loss = float(out[2]["loss"])
+print("LOSS", rank, repr(loss), flush=True)
+"""
+
+SINGLE = """
+import jax, numpy as np
+import jax.numpy as jnp
+from medicaldetectiontoolkit_tpu.models import build_model, base as model_base
+from medicaldetectiontoolkit_tpu.testing import make_config, make_batch
+
+class L:
+    def info(self, *a, **k): pass
+
+cf = make_config(model="retina_net", dim=2, batch_size=8, patch_size=[64, 64])
+net = build_model(cf, L())
+net.initialize(seed=0)
+batch = make_batch(cf)
+img = model_base.image_to_device(batch["data"])
+gt_boxes, gt_ids, gt_valid = model_base.pad_gt_boxes(
+    batch["bb_target"], batch["roi_labels"], 8, 2, cf.max_gt_boxes)
+seg = model_base.seg_to_device(batch["seg"])
+out = net._train_step_fn(net.params, net.opt_state, jax.random.PRNGKey(7),
+                         jnp.float32(1e-4), img, gt_boxes, gt_ids, gt_valid, seg)
+print("LOSS", repr(float(out[2]["loss"])), flush=True)
+"""
+
+
+def _env(extra_devices=4):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + f" --xla_force_host_platform_device_count={extra_devices}"
+    ).strip()
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/mdt_tpu_jax_cache")
+    return env
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.slow
+def test_two_process_dp_step_matches_single_process():
+    coord = f"127.0.0.1:{_free_port()}"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", WORKER, str(rank), coord],
+            cwd=REPO, env=_env(4), stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True,
+        )
+        for rank in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, err[-3000:]
+        outs.append(out)
+
+    # disjoint patient shards
+    assert "SHARD 0 [0, 2, 4, 6, 8]" in outs[0]
+    assert "SHARD 1 [1, 3, 5, 7, 9]" in outs[1]
+
+    losses = [float(o.split("LOSS")[-1].split()[1]) for o in outs]
+    assert losses[0] == losses[1], losses  # replicated output: bit-identical
+
+    res = subprocess.run(
+        [sys.executable, "-c", SINGLE], cwd=REPO, env=_env(1),
+        capture_output=True, text=True, timeout=600,
+    )
+    assert res.returncode == 0, res.stderr[-3000:]
+    single = float(res.stdout.split("LOSS")[-1].split()[0])
+    assert abs(single - losses[0]) < 1e-5, (single, losses[0])

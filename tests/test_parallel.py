@@ -67,7 +67,9 @@ simg, sb, si, sv, ss = shard_batch(mesh, img, gt_boxes, gt_ids, gt_valid, seg)
 out4 = step(params0, opt0, rng, lr, simg, sb, si, sv, ss)
 loss4 = float(out4[2]['loss'])
 print('LOSSES', loss1, loss4)
-assert abs(loss1 - loss4) < 1e-3, (loss1, loss4)
+# fp32 CPU, fixed seed: only psum reduction order differs -> 1e-5 catches
+# real divergence (was 1e-3, which only caught catastrophic breakage)
+assert abs(loss1 - loss4) < 1e-5, (loss1, loss4)
 print('DP-MATCH-OK')
 """
     res = run_cpu_subprocess(code)
@@ -123,13 +125,22 @@ patient = next(gen['test'])
 assert 'patch_crop_coords' in patient, patient['data'].shape
 
 def boxes_of(results):
-    # conv reduction order differs between shardings -> scores agree to ~1e-6;
-    # coords are rounded on-device so they must match exactly
+    # keyed by (type, coords): coords are device-rounded so they must match
+    # exactly; scores carry conv-reduction-order drift (measured ~6e-8), so
+    # they are compared with a tolerance instead of rounding (rounding has
+    # cliff artifacts at digit boundaries)
     out = []
     for bl in results['boxes']:
-        out.append(sorted([(str(b['box_type']), tuple(np.asarray(b['box_coords'], float).round(2)),
-                            round(float(b.get('box_score', 0)), 4)) for b in bl]))
+        out.append({(str(b['box_type']), tuple(np.asarray(b['box_coords'], float).round(2))):
+                    float(b.get('box_score', 0)) for b in bl})
     return out
+
+def assert_boxes_match(a, b, tol=1e-6):
+    assert len(a) == len(b)
+    for da, db in zip(a, b):
+        assert set(da) == set(db), set(da) ^ set(db)
+        for k in da:
+            assert abs(da[k] - db[k]) < tol, (k, da[k], db[k])
 
 cf.n_data_parallel = None
 p1 = Predictor(cf, net, L(), mode='test')
@@ -139,7 +150,7 @@ cf.n_data_parallel = 8
 p8 = Predictor(cf, net, L(), mode='test')
 r8 = p8.predict_patient(dict(patient))
 
-assert boxes_of(r1) == boxes_of(r8), 'sharded boxes differ'
+assert_boxes_match(boxes_of(r1), boxes_of(r8))
 np.testing.assert_array_equal(np.asarray(r1['seg_preds']), np.asarray(r8['seg_preds']))
 print('SHARDED-INFER-OK', len(r1['boxes']))
 """
