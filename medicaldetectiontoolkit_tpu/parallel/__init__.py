@@ -9,9 +9,11 @@ gradient all-reduces over ICI — no hand-written communication layer.
 
 from medicaldetectiontoolkit_tpu.parallel.mesh import (  # noqa: F401
     get_mesh,
+    get_mesh_2d,
     host_shard_info,
     make_data_parallel_predict,
     make_data_parallel_step,
+    make_spatial_predict,
     maybe_initialize_distributed,
     shard_batch,
 )

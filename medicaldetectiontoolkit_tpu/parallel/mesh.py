@@ -134,6 +134,62 @@ def make_data_parallel_predict(detector, mesh: Mesh, axis_name: str = DATA_AXIS)
     )
 
 
+SPACE_AXIS = "space"
+
+
+def get_mesh_2d(n_data: int, n_space: int, axis_names=(DATA_AXIS, SPACE_AXIS)) -> Mesh:
+    """2D (data x space) mesh for combined batch + spatial partitioning."""
+    devices = jax.devices()
+    if len(devices) < n_data * n_space:
+        try:
+            devices = jax.devices("cpu")
+        except RuntimeError:
+            pass
+    if len(devices) < n_data * n_space:
+        raise ValueError(f"requested {n_data}x{n_space} devices, only {len(devices)} visible")
+    return Mesh(np.asarray(devices[: n_data * n_space]).reshape(n_data, n_space), axis_names)
+
+
+def make_spatial_predict(detector, mesh: Mesh, axis_names=(DATA_AXIS, SPACE_AXIS)):
+    """Inference over a 2D mesh: batch sharded on 'data', image Y on 'space'.
+
+    Spatial partitioning splits each image's leading spatial axis across
+    devices; GSPMD inserts the conv halo exchanges. This is the scale-out
+    path for volumes too large for one chip's HBM at inference — the
+    reference has no analog (it tiles on the host instead).
+
+    Safety cap: the deepest pyramid level (C5, stride 32) must keep its
+    sharded dim >= the space-axis size. Below that, XLA's partitioner has
+    been observed to MIS-COMPUTE scanned stacked-param stages (verified on
+    CPU GSPMD: identity-block outputs wrong by O(1) when the sharded dim
+    shrinks under the shard count — not a reduction-order effect), so we
+    refuse rather than risk it. Validated bit-exact vs single-device at
+    patch 128 / 4-way space (tests/test_parallel.py).
+    """
+    import inspect
+
+    n_space = mesh.shape[axis_names[1]]
+    c5_y = detector.cf.patch_size[0] // 32  # Y is the sharded image axis
+    if c5_y < n_space:
+        raise ValueError(
+            f"spatial axis {n_space} exceeds C5 Y-extent {c5_y} "
+            f"(patch {detector.cf.patch_size}); use fewer 'space' shards"
+        )
+    repl = NamedSharding(mesh, P())
+    img_sh = NamedSharding(mesh, P(axis_names[0], axis_names[1]))
+    out_sh = NamedSharding(mesh, P(axis_names[0]))
+    n_outs = getattr(detector, "predict_n_outputs", 3)
+    static = tuple(
+        name for name in ("with_masks",) if name in inspect.signature(detector._predict).parameters
+    )
+    return jax.jit(
+        detector._predict,
+        in_shardings=(repl, img_sh),
+        out_shardings=out_sh if n_outs == 1 else (out_sh,) * n_outs,
+        static_argnames=static,
+    )
+
+
 def maybe_initialize_distributed(logger=None):
     """Opt-in multi-host bring-up: ``jax.distributed.initialize`` from env.
 

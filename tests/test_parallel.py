@@ -78,6 +78,51 @@ print('DP-MATCH-OK')
 
 
 @pytest.mark.slow
+def test_spatial_partitioned_inference_matches_single_device():
+    """2D (data x space) mesh: image Y sharded across devices, GSPMD halo
+    exchanges in the convs — predictions must be bit-exact vs one device.
+    Also pins the safety cap: space shards beyond the C5 Y-extent refuse."""
+    code = """
+import jax, numpy as np
+import jax.numpy as jnp
+from medicaldetectiontoolkit_tpu.models import build_model, base as model_base
+from medicaldetectiontoolkit_tpu.parallel import get_mesh_2d, make_spatial_predict
+from medicaldetectiontoolkit_tpu.testing import make_config, make_batch
+
+class L:
+    def info(self, *a, **k): pass
+
+cf = make_config(model='retina_net', dim=2, batch_size=2, patch_size=[128, 128])
+net = build_model(cf, L())
+net.initialize(seed=0)
+batch = make_batch(cf)
+img = model_base.image_to_device(batch['data'])
+ref = jax.jit(net._predict)(net.params, img)
+
+mesh = get_mesh_2d(2, 4)
+pred = make_spatial_predict(net, mesh)
+out = pred(net.params, img)
+for a, b in zip(jax.tree_util.tree_leaves(ref), jax.tree_util.tree_leaves(out)):
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+# cap: 4-way space > C5 Y-extent 2 (patch 64) must refuse
+cf_small = make_config(model='retina_net', dim=2, batch_size=2, patch_size=[64, 64])
+net_small = build_model(cf_small, L())
+net_small.initialize(seed=0)
+try:
+    make_spatial_predict(net_small, get_mesh_2d(1, 4))
+except ValueError as e:
+    assert 'C5 Y-extent' in str(e)
+else:
+    raise AssertionError('cap did not trigger')
+print('SPATIAL-OK')
+"""
+    res = run_cpu_subprocess(code)
+    assert res.returncode == 0, res.stderr[-3000:]
+    assert "SPATIAL-OK" in res.stdout
+
+
+@pytest.mark.slow
 def test_sharded_inference_patched_patient_matches_single_device():
     """Test-mode Predictor over a synthetic-LIDC patched patient: with
     cf.n_data_parallel=8 the sharded forward must produce the same boxes
