@@ -15,6 +15,8 @@ from __future__ import annotations
 import numpy as np
 from scipy import ndimage
 
+from medicaldetectiontoolkit_tpu import native
+
 
 def mirror_batch(data: np.ndarray, seg: np.ndarray, rng: np.random.RandomState):
     """Random per-sample, per-axis flips with p=0.5 (batchgenerators Mirror).
@@ -75,20 +77,22 @@ def _rotation_matrix_3d(ax_angle, ay_angle, az_angle):
     return rz @ ry @ rx
 
 
-def _sample_coords(patch_size, da_kwargs, rng):
-    """Build the sampling coordinate grid for one sample, centered at 0."""
+def _sample_transform(patch_size, da_kwargs, rng):
+    """Draw one sample's (elastic field, rotation, scale). RNG draw order is
+    fixed (alpha, sigma, per-axis noise, angles, scale) so the fused-native
+    and NumPy grid builders see identical transforms."""
     dim = len(patch_size)
-    grids = np.meshgrid(*[np.arange(p, dtype=np.float64) for p in patch_size], indexing="ij")
-    coords = np.stack(grids)  # (dim, *patch)
-    for d in range(dim):
-        coords[d] -= (patch_size[d] - 1) / 2.0
-
+    elastic = None
     if da_kwargs.get("do_elastic_deform", False):
         alpha = rng.uniform(*da_kwargs["alpha"])
         sigma = rng.uniform(*da_kwargs["sigma"])
+        elastic = np.empty((dim,) + tuple(patch_size), np.float64)
         for d in range(dim):
             noise = rng.uniform(-1, 1, patch_size)
-            coords[d] += ndimage.gaussian_filter(noise, sigma, mode="constant", cval=0) * alpha
+            # native C++ separable FIR (scipy-exact, see native/); the ~100-tap
+            # smoothing of a full-patch noise field is the single hottest
+            # host-side op in the training input pipeline
+            elastic[d] = native.gaussian_filter_constant(noise, sigma) * alpha
 
     if da_kwargs.get("do_rotation", False):
         if dim == 2:
@@ -99,13 +103,34 @@ def _sample_coords(patch_size, da_kwargs, rng):
                 rng.uniform(*da_kwargs["angle_y"]),
                 rng.uniform(*da_kwargs["angle_z"]),
             )
-        flat = coords.reshape(dim, -1)
-        coords = (rot @ flat).reshape(coords.shape)
+    else:
+        rot = np.eye(dim)
 
-    if da_kwargs.get("do_scale", False):
-        scale = rng.uniform(*da_kwargs["scale"])
-        coords = coords * scale
+    scale = rng.uniform(*da_kwargs["scale"]) if da_kwargs.get("do_scale", False) else 1.0
+    return elastic, rot, scale
 
+
+def _sample_coords(patch_size, da_kwargs, rng, center_in):
+    """Sampling grid for one sample: center-placed output patch transformed
+    by elastic + rotation + scale; (dim, *patch) float64 input coords."""
+    dim = len(patch_size)
+    elastic, rot, scale = _sample_transform(patch_size, da_kwargs, rng)
+
+    fused = native.build_coords(elastic, rot, scale, patch_size, center_in)
+    if fused is not None:
+        return fused
+
+    # NumPy fallback: same math as the fused C pass
+    grids = np.meshgrid(*[np.arange(p, dtype=np.float64) for p in patch_size], indexing="ij")
+    coords = np.stack(grids)  # (dim, *patch)
+    for d in range(dim):
+        coords[d] -= (patch_size[d] - 1) / 2.0
+    if elastic is not None:
+        coords += elastic
+    flat = coords.reshape(dim, -1)
+    coords = (rot @ flat).reshape(coords.shape) * scale
+    for d in range(dim):
+        coords[d] += center_in[d]
     return coords
 
 
@@ -122,14 +147,19 @@ def spatial_augment_batch(data: np.ndarray, seg: np.ndarray, patch_size, da_kwar
     cval = da_kwargs.get("border_cval_data", 0)
     out_d = np.zeros((bsz, ch) + tuple(patch_size), dtype=np.float32)
     out_s = np.zeros((bsz, seg.shape[1]) + tuple(patch_size), dtype=seg.dtype)
+    center_in = [(data.shape[2 + d] - 1) / 2.0 for d in range(dim)]  # center placement
     for b in range(bsz):
-        coords = _sample_coords(patch_size, da_kwargs, rng)
-        for d in range(dim):
-            coords[d] += (data.shape[2 + d] - 1) / 2.0  # center placement
+        coords = _sample_coords(patch_size, da_kwargs, rng, center_in)
         for c in range(ch):
-            out_d[b, c] = ndimage.map_coordinates(
-                data[b, c].astype(np.float64), coords, order=order_data, mode="constant", cval=cval
-            )
+            if order_data == 1:
+                out_d[b, c] = native.map_coordinates_linear(data[b, c], coords, cval=cval)
+            else:  # non-default orders stay on scipy
+                out_d[b, c] = ndimage.map_coordinates(
+                    data[b, c].astype(np.float64), coords, order=order_data,
+                    mode="constant", cval=cval,
+                )
         for c in range(seg.shape[1]):
-            out_s[b, c] = ndimage.map_coordinates(seg[b, c], coords, order=0, mode="constant", cval=0)
+            out_s[b, c] = native.map_coordinates_nearest(
+                seg[b, c].astype(np.uint8), coords, cval=0
+            ).astype(seg.dtype)
     return out_d, out_s

@@ -1,0 +1,150 @@
+"""Native (C++/OpenMP) host-side augmentation kernels with scipy fallback.
+
+The TPU compute path is JAX/XLA/Pallas; this package covers the HOST hot
+path — the geometric augmentation resampling that feeds the chip
+(``data/augmentation.py``). scipy's float64 ``map_coordinates`` +
+``gaussian_filter`` cap one worker at a few 128^3 patches/s; the C++ loops
+(float32 resample, fused separable gaussian, OpenMP across grid lines)
+remove that ceiling on multi-core TPU hosts.
+
+Usage: call :func:`get_lib` — returns the loaded ctypes library, building it
+with ``build.sh`` (plain ``g++``) on first use, or ``None`` when no
+toolchain is available / ``MDT_NO_NATIVE=1``; callers fall back to scipy.
+Exact scipy parity is pinned by ``tests/test_native_resample.py``.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_HERE, "libmdtresample.so")
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _signatures(lib):
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    lib.resample_linear_f32.argtypes = [
+        f32p, i64p, ctypes.c_int, f64p, ctypes.c_int64, ctypes.c_float, f32p
+    ]
+    lib.resample_nearest_u8.argtypes = [
+        u8p, i64p, ctypes.c_int, f64p, ctypes.c_int64, ctypes.c_uint8, u8p
+    ]
+    lib.gaussian_f64.argtypes = [f64p, i64p, ctypes.c_int, ctypes.c_double, ctypes.c_double]
+    lib.build_coords_f64.argtypes = [
+        ctypes.c_void_p, f64p, ctypes.c_double, i64p, ctypes.c_int, f64p, f64p
+    ]
+    lib.native_num_threads.restype = ctypes.c_int
+    return lib
+
+
+def get_lib():
+    """The loaded native library, or None (then use the scipy path)."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if os.environ.get("MDT_NO_NATIVE") == "1":
+            return None
+        try:
+            if not os.path.isfile(_SO) or os.path.getmtime(_SO) < os.path.getmtime(
+                os.path.join(_HERE, "resample.cpp")
+            ):
+                subprocess.run(
+                    ["sh", os.path.join(_HERE, "build.sh")],
+                    check=True, capture_output=True, timeout=120,
+                )
+            _lib = _signatures(ctypes.CDLL(_SO))
+        except Exception:  # no toolchain / load failure -> scipy fallback
+            _lib = None
+        return _lib
+
+
+def map_coordinates_linear(src: np.ndarray, coords: np.ndarray, cval: float) -> np.ndarray:
+    """scipy.ndimage.map_coordinates(order=1, mode='constant') equivalent.
+
+    src: float array (any dtype, computed in float32); coords: (dim, *out).
+    """
+    lib = get_lib()
+    if lib is None:
+        from scipy import ndimage
+
+        return ndimage.map_coordinates(
+            src.astype(np.float64), coords, order=1, mode="constant", cval=cval
+        ).astype(np.float32)
+    out_shape = coords.shape[1:]
+    flat = np.ascontiguousarray(coords.reshape(coords.shape[0], -1), np.float64)
+    out = np.empty(flat.shape[1], np.float32)
+    lib.resample_linear_f32(
+        np.ascontiguousarray(src, np.float32),
+        np.asarray(src.shape, np.int64), src.ndim,
+        flat, flat.shape[1], np.float32(cval), out,
+    )
+    return out.reshape(out_shape)
+
+
+def map_coordinates_nearest(src: np.ndarray, coords: np.ndarray, cval: int = 0) -> np.ndarray:
+    """scipy.ndimage.map_coordinates(order=0, mode='constant') for uint8 seg."""
+    lib = get_lib()
+    if lib is None:
+        from scipy import ndimage
+
+        return ndimage.map_coordinates(src, coords, order=0, mode="constant", cval=cval)
+    out_shape = coords.shape[1:]
+    flat = np.ascontiguousarray(coords.reshape(coords.shape[0], -1), np.float64)
+    out = np.empty(flat.shape[1], np.uint8)
+    lib.resample_nearest_u8(
+        np.ascontiguousarray(src, np.uint8),
+        np.asarray(src.shape, np.int64), src.ndim,
+        flat, flat.shape[1], np.uint8(cval), out,
+    )
+    return out.reshape(out_shape).astype(src.dtype)
+
+
+def build_coords(elastic, rot, scale, patch_size, center_in):
+    """Fused sampling grid: rot/scale/elastic/center in one pass, or None
+    when the native library is unavailable (callers use the NumPy path).
+
+    elastic: (dim, *patch) float64 displacement (already * alpha) or None;
+    rot: (dim, dim); center_in: per-axis input-center offsets.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    patch = np.asarray(patch_size, np.int64)
+    dim = len(patch_size)
+    out = np.empty((dim,) + tuple(patch_size), np.float64)
+    e_arg = None
+    if elastic is not None:
+        elastic = np.ascontiguousarray(elastic, np.float64)
+        e_arg = elastic.ctypes.data_as(ctypes.c_void_p)
+    lib.build_coords_f64(
+        e_arg, np.ascontiguousarray(rot, np.float64), float(scale),
+        patch, dim, np.ascontiguousarray(center_in, np.float64), out,
+    )
+    return out
+
+
+def gaussian_filter_constant(arr: np.ndarray, sigma: float, truncate: float = 4.0) -> np.ndarray:
+    """scipy.ndimage.gaussian_filter(mode='constant', cval=0) equivalent."""
+    lib = get_lib()
+    if lib is None:
+        from scipy import ndimage
+
+        return ndimage.gaussian_filter(arr, sigma, mode="constant", cval=0, truncate=truncate)
+    buf = np.ascontiguousarray(arr, np.float64).copy()
+    lib.gaussian_f64(buf, np.asarray(buf.shape, np.int64), buf.ndim, float(sigma), float(truncate))
+    return buf.astype(arr.dtype) if arr.dtype != np.float64 else buf

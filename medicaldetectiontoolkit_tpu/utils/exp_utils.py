@@ -51,9 +51,14 @@ class ColorHandler(logging.StreamHandler):
 
 
 def get_logger(exp_dir):
-    logger = logging.getLogger("medicaldetectiontoolkit_tpu")
+    # one logger PER exp/fold dir (not a process-global name): concurrent
+    # folds in one process each keep their own file handler instead of
+    # cross-writing through swapped handlers
+    tag = os.path.abspath(exp_dir).replace(".", "_")  # dots would imply logger hierarchy
+    logger = logging.getLogger(f"medicaldetectiontoolkit_tpu.{tag}")
     logger.setLevel(logging.DEBUG)
-    for hdlr in list(logger.handlers):
+    for hdlr in list(logger.handlers):  # idempotent re-init for the same dir
+        hdlr.close()
         logger.removeHandler(hdlr)
     log_file = os.path.join(exp_dir, "exec.log")
     logger.addHandler(logging.FileHandler(log_file))

@@ -1,0 +1,40 @@
+#!/bin/bash
+# Round-3 chip queue: run everything that needs the real TPU, in priority
+# order, unattended. Fire this the moment the axon tunnel is back:
+#   nohup bash tools/chip_queue.sh > /tmp/chip_queue.log 2>&1 &
+# Each stage appends to its own log under /tmp/r3_chip/; stages are
+# independent (a failure moves on to the next) and each is bounded.
+#
+# Priority (VERDICT round-2 "Next round"):
+#   1. bench.py train  -> the driver metric (claim: >= 20 patches/s)
+#   2. bench.py infer  -> stale 42.4 number refresh
+#   3. convergence3d mrcnn -> HBM-fit + convergence proof (item 2)
+#   4. convergence3d retina_unet
+#   5. trace the current step (item 6's evidence)
+#   6. toy mrcnn at reference schedule (item 4; longest)
+set -u
+OUT=/tmp/r3_chip
+mkdir -p "$OUT"
+cd "$(dirname "$0")/.."
+export JAX_COMPILATION_CACHE_DIR=/tmp/mdt_tpu_jax_cache
+
+stage() {
+  local name=$1 tmo=$2; shift 2
+  echo "=== [$name] start $(date -u +%H:%M:%S) (timeout ${tmo}s) ==="
+  timeout "$tmo" "$@" > "$OUT/$name.log" 2>&1
+  local rc=$?
+  echo "=== [$name] rc=$rc end $(date -u +%H:%M:%S) ==="
+  tail -3 "$OUT/$name.log" | sed 's/^/    /'
+}
+
+# 0. sanity: is the chip actually reachable? bail early if not.
+timeout 120 python -c "import jax; print(jax.devices())" > "$OUT/probe.log" 2>&1 || {
+  echo "chip probe FAILED — tunnel still down"; exit 1; }
+echo "chip reachable: $(tail -1 "$OUT/probe.log")"
+
+stage bench_train 3000 python bench.py
+stage bench_infer 2400 env MDT_BENCH_MODE=infer python bench.py
+stage conv3d_mrcnn 7200 python tools/convergence3d.py --model mrcnn --epochs 12
+stage conv3d_retina_unet 7200 python tools/convergence3d.py --model retina_unet --epochs 12
+stage trace_step 1800 python tools/trace.py
+echo "=== chip queue done $(date -u) ==="
