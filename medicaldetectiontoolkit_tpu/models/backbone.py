@@ -147,7 +147,13 @@ def _zband_policy(cin: int, z_len: int, ks: int) -> bool:
     small in absolute terms (<=120 GFLOP at LIDC stem geometry) while the
     XLA path is bandwidth/relayout-bound; at cin>=18 the inflation reaches
     TFLOP scale and cancels the win — those stay on the z-fold path.
+    ``MDT_NO_ZBAND=1`` disables the auto policy (A/B + driver safety valve;
+    the path is exactness-tested on CPU but not yet timed on hardware).
     """
+    import os
+
+    if os.environ.get("MDT_NO_ZBAND") == "1":
+        return False
     return cin <= 4 and z_len >= 32 and ks >= 3
 
 

@@ -152,13 +152,28 @@ def prep_exp(dataset_path, exp_path, server_env=False, use_stored_settings=True,
 
 
 def save_checkpoint(path, state):
-    """Pickle a pytree state dict ({'params', 'opt_state', 'epoch', ...})."""
+    """Pickle a pytree state dict ({'params', 'opt_state', 'epoch', ...}).
+
+    Write-then-rename: a crash mid-write (preemption is routine on TPU
+    fleets) leaves the previous checkpoint intact instead of a truncated
+    pickle that poisons --resume_to_checkpoint.
+    """
     import jax
 
     os.makedirs(path, exist_ok=True)
     host_state = jax.device_get(state)
-    with open(os.path.join(path, "params.pkl"), "wb") as handle:
+    final = os.path.join(path, "params.pkl")
+    tmp = final + ".tmp"
+    with open(tmp, "wb") as handle:
         pickle.dump(host_state, handle, protocol=pickle.HIGHEST_PROTOCOL)
+    os.replace(tmp, final)
+
+
+def _atomic_pickle(path, obj):
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as handle:
+        pickle.dump(obj, handle)
+    os.replace(tmp, path)
 
 
 def load_checkpoint_state(path):
@@ -197,8 +212,7 @@ class ModelSelector:
         if epoch in epoch_ranking[: self.cf.save_n_models]:
             save_dir = os.path.join(self.cf.fold_dir, f"{epoch}_best_checkpoint")
             save_checkpoint(save_dir, {"params": net.params, "epoch": epoch})
-            with open(os.path.join(save_dir, "monitor_metrics.pickle"), "wb") as handle:
-                pickle.dump(monitor_metrics, handle)
+            _atomic_pickle(os.path.join(save_dir, "monitor_metrics.pickle"), monitor_metrics)
             np.save(os.path.join(self.cf.fold_dir, "epoch_ranking"), epoch_ranking[: self.cf.save_n_models])
             np.save(os.path.join(save_dir, "epoch_ranking"), epoch_ranking[: self.cf.save_n_models])
             self.logger.info(f"saving current epoch {epoch} at rank {np.argwhere(epoch_ranking == epoch)}")
@@ -214,8 +228,7 @@ class ModelSelector:
         state["epoch"] = epoch
         save_checkpoint(save_dir, state)
         np.save(os.path.join(save_dir, "epoch_ranking"), epoch_ranking[: self.cf.save_n_models])
-        with open(os.path.join(save_dir, "monitor_metrics.pickle"), "wb") as handle:
-            pickle.dump(monitor_metrics, handle)
+        _atomic_pickle(os.path.join(save_dir, "monitor_metrics.pickle"), monitor_metrics)
 
 
 def prepare_monitoring(cf):

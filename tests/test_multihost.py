@@ -32,7 +32,7 @@ assert maybe_initialize_distributed() is True
 import jax, numpy as np
 import jax.numpy as jnp
 assert jax.process_count() == 2, jax.process_count()
-assert len(jax.devices()) == 8, len(jax.devices())
+assert len(jax.devices()) == 4, len(jax.devices())
 
 from medicaldetectiontoolkit_tpu.models import build_model, base as model_base
 from medicaldetectiontoolkit_tpu.testing import make_config, make_batch
@@ -58,7 +58,7 @@ gt_boxes, gt_ids, gt_valid = model_base.pad_gt_boxes(
 seg = model_base.seg_to_device(batch["seg"])
 lo, hi = rank * 4, rank * 4 + 4  # this host's local slice (global batch 8)
 
-mesh = get_mesh(8)
+mesh = get_mesh(4)
 
 # establish the gloo context with a trivial collective BEFORE the big
 # compile: context init has a ~30 s rendezvous timeout, and compile/cache
@@ -66,7 +66,7 @@ mesh = get_mesh(8)
 # collectives block on peers without that deadline
 from jax.sharding import NamedSharding, PartitionSpec as P
 warm = jax.jit(lambda a: a.sum(), out_shardings=NamedSharding(mesh, P()))(
-    shard_batch(mesh, np.arange(16, dtype=np.float32).reshape(8, 2)[rank * 4:rank * 4 + 4]))
+    shard_batch(mesh, np.arange(16, dtype=np.float32).reshape(4, 4)[rank * 2:rank * 2 + 2]))
 assert float(warm) == 120.0, float(warm)
 
 step = make_data_parallel_step(net, mesh)
@@ -124,22 +124,34 @@ def _free_port():
     return port
 
 
-@pytest.mark.slow
-def test_two_process_dp_step_matches_single_process():
+def _run_workers():
     coord = f"127.0.0.1:{_free_port()}"
     procs = [
         subprocess.Popen(
             [sys.executable, "-c", WORKER, str(rank), coord],
-            cwd=REPO, env=_env(4), stdout=subprocess.PIPE,
+            cwd=REPO, env=_env(2), stdout=subprocess.PIPE,
             stderr=subprocess.PIPE, text=True,
         )
         for rank in range(2)
     ]
-    outs = []
+    outs, errs, rcs = [], [], []
     for p in procs:
         out, err = p.communicate(timeout=600)
-        assert p.returncode == 0, err[-3000:]
         outs.append(out)
+        errs.append(err)
+        rcs.append(p.returncode)
+    return outs, errs, rcs
+
+
+@pytest.mark.slow
+def test_two_process_dp_step_matches_single_process():
+    outs, errs, rcs = _run_workers()
+    if any(rc != 0 for rc in rcs) and any("Gloo" in e or "DEADLINE" in e for e in errs):
+        # gloo's ~30 s rendezvous can time out under heavy host contention
+        # (1-CPU CI boxes running the suite in parallel); one clean retry
+        outs, errs, rcs = _run_workers()
+    for rc, err in zip(rcs, errs):
+        assert rc == 0, err[-3000:]
 
     # disjoint patient shards
     assert "SHARD 0 [0, 2, 4, 6, 8]" in outs[0]

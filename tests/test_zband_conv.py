@@ -82,3 +82,37 @@ class TestZBandEquivalence:
         assert not bb._zband_policy(18, 64, 7)     # wide cin: stay on zfold
         assert not bb._zband_policy(1, 8, 3)       # tiny z: not worth it
         assert not bb._zband_policy(1, 64, 1)      # 1x1x1: no banding
+
+    def test_env_kill_switch(self, monkeypatch):
+        monkeypatch.setenv("MDT_NO_ZBAND", "1")
+        assert not bb._zband_policy(1, 64, 7)
+
+
+@pytest.mark.slow
+def test_full_3d_model_with_tpu_auto_policy(monkeypatch):
+    """Simulate the TPU backend policy on CPU: the whole 3D mrcnn train step
+    must run with zband+zfold auto-dispatch active and produce the same loss
+    as the plain-conv path (same params, same rng) to float tolerance.
+    Pre-validates the exact program the chip will compile."""
+    import jax.numpy as jnp
+    from medicaldetectiontoolkit_tpu.models import build_model
+    from medicaldetectiontoolkit_tpu.testing import make_batch, make_config
+
+    class _Log:
+        def info(self, *a, **k):
+            pass
+
+    cf = make_config("mrcnn", dim=3, patch_size=[32, 32, 32], retina_scales=False)
+    batch = make_batch(cf)
+
+    def loss_with_policy(enabled):
+        monkeypatch.setattr(bb, "_zfold_backend_default", lambda: enabled)
+        net = build_model(cf, _Log())
+        net.initialize(seed=0)
+        res = net.train_forward(batch, do_update=False)
+        return res["loss"]
+
+    plain = loss_with_policy(False)
+    folded = loss_with_policy(True)
+    assert np.isfinite(folded)
+    np.testing.assert_allclose(folded, plain, rtol=2e-3, atol=2e-3)

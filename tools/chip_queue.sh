@@ -32,9 +32,21 @@ timeout 120 python -c "import jax; print(jax.devices())" > "$OUT/probe.log" 2>&1
   echo "chip probe FAILED — tunnel still down"; exit 1; }
 echo "chip reachable: $(tail -1 "$OUT/probe.log")"
 
+# 0.5 hardware-validate the Pallas kernels + the new zband program first
+# (fast, and a failure here explains anything downstream)
+stage tpu_kernel_tests 1200 env MDT_TEST_ON_TPU=1 python -m pytest \
+  tests/test_roi_align_pallas.py tests/test_nms_pallas.py -q -x
+
 stage bench_train 3000 python bench.py
 stage bench_infer 2400 env MDT_BENCH_MODE=infer python bench.py
 stage conv3d_mrcnn 7200 python tools/convergence3d.py --model mrcnn --epochs 12
 stage conv3d_retina_unet 7200 python tools/convergence3d.py --model retina_unet --epochs 12
 stage trace_step 1800 python tools/trace.py
+
+# --- A/B matrix (ablate.py 'full' = the real train step, elision-safe) ----
+stage ab_base 1800 python tools/ablate.py full
+stage ab_nozband 1800 env MDT_NO_ZBAND=1 python tools/ablate.py full
+stage ab_noremat 1800 env MDT_ABLATE_REMAT=0 python tools/ablate.py full
+stage ab_batch8 2400 env MDT_ABLATE_BATCH=8 python tools/ablate.py full
+stage ab_stage_loop 1800 env MDT_STAGE_MODE=loop python tools/probe.py cost
 echo "=== chip queue done $(date -u) ==="
