@@ -211,6 +211,72 @@ class _ZBandedConv(nn.Module):
         return out.reshape(out.shape[:-1] + (zo, cout))
 
 
+class _ZBlockBandedConv(nn.Module):
+    """3D conv as a batched 2D conv over z-blocks of ``G`` outputs each.
+
+    Middle ground between ``_ZFoldedConv`` (channels x f, banded taps) and
+    ``_ZBandedConv`` (whole z in the contraction, ~z/ks FLOP inflation —
+    only viable at tiny cin): each block of G output z-positions contracts
+    over its Hb = G*sz + ks - sz input span, so the 2D conv sees
+    K = Hb*cin, N = G*cout, and blocks ride the BATCH dim (B*nb). At
+    cin=cout=18, G=7 gives N=126~128 and inflation only
+    (Hb/ks)*(pad factors) ~ 2.2x of logical FLOPs with MXU-aligned tiles —
+    vs the ~10% MXU the lane-padded direct 3D conv achieves.
+
+    Mathematically exact for SAME geometry (pad == ks//2 on z); params
+    identical to ``nn.Conv`` (checkpoints interchange); gradients flow
+    through the band gather. Opt-in (``zblock``/``MDT_ZBLOCK_G``) until the
+    chip A/B lands.
+    """
+
+    features: int
+    ks: int
+    stride: tuple  # (sy, sx, sz)
+    pad: int
+    G: int  # output z-positions per block
+    kernel_init: object
+    dtype: object
+
+    @nn.compact
+    def __call__(self, x):
+        k, p, G = self.ks, self.pad, self.G
+        sy, sx, sz = self.stride
+        B = x.shape[0]
+        Y, X, Z, cin = x.shape[-4:]
+        cout = self.features
+        w = self.param("kernel", self.kernel_init, (k, k, k, cin, cout), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (cout,), jnp.float32)
+
+        zo = -(-Z // sz)  # SAME: ceil(Z / sz)
+        nb = -(-zo // G)
+        Hb = G * sz + k - sz  # input span feeding one block of G outputs
+        # block g's outputs [gG, gG+G) read padded-z inputs [gG*sz, gG*sz+Hb)
+        L = (nb - 1) * G * sz + Hb
+        xp = jnp.pad(x, [(0, 0)] * (x.ndim - 2) + [(p, max(L - p - Z, 0)), (0, 0)])
+        blocks = jnp.stack(
+            [xp[..., g * G * sz : g * G * sz + Hb, :] for g in range(nb)], axis=1
+        )  # (B, nb, Y, X, Hb, cin)
+        xb = blocks.reshape(B * nb, Y, X, Hb * cin)
+
+        # band: T[(hb,ci),(go,co)] = w[dy,dx, hb - sz*go, ci, co], zero off-band
+        dz = jnp.arange(Hb)[:, None] - sz * jnp.arange(G)[None, :]  # (Hb, G)
+        wg = w[:, :, jnp.clip(dz, 0, k - 1), :, :]  # (k, k, Hb, G, cin, cout)
+        wg = jnp.where(((dz >= 0) & (dz < k))[None, None, :, :, None, None], wg, 0.0)
+        w2 = wg.transpose(0, 1, 2, 4, 3, 5).reshape(k, k, Hb * cin, G * cout)
+
+        out = jax.lax.conv_general_dilated(
+            xb.astype(self.dtype),
+            w2.astype(self.dtype),
+            window_strides=(sy, sx),
+            padding=[(p, p), (p, p)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        Yo, Xo = out.shape[1], out.shape[2]
+        out = out.reshape(B, nb, Yo, Xo, G, cout).transpose(0, 2, 3, 1, 4, 5)
+        out = out.reshape(B, Yo, Xo, nb * G, cout)[..., :zo, :]
+        return out + b.astype(self.dtype)
+
+
 class ConvND(nn.Module):
     """conv + optional norm + optional nonlinearity; the NDConvGenerator analog
     (``utils/model_utils.py:732-781``), rank-polymorphic via ``dim``.
@@ -231,12 +297,13 @@ class ConvND(nn.Module):
     dtype: object = jnp.float32
     zfold: int = 0
     zband: Optional[bool] = None
+    zblock: Optional[int] = None  # z-outputs per block; None = env auto, 0 = off
 
     @nn.compact
     def __call__(self, x):
         stride = self.stride if isinstance(self.stride, (tuple, list)) else (self.stride,) * self.dim
         stride = tuple(stride)
-        # Both z reformulations assume nn.Conv's SAME geometry (z_out =
+        # All z reformulations assume nn.Conv's SAME geometry (z_out =
         # ceil(Z/s), zero right-pad), which only equals explicit padding when
         # pad == ks//2. Every current call site satisfies this; other
         # geometries fall back to nn.Conv rather than silently diverging.
@@ -251,6 +318,22 @@ class ConvND(nn.Module):
             x = _ZBandedConv(
                 features=self.features, ks=self.ks, stride=stride, pad=self.pad,
                 kernel_init=_kinit(self.weight_init), dtype=self.dtype, name="Conv_0",
+            )(x)
+            return self._finish(x)
+        G = self.zblock
+        if G is None and self.dim == 3 and _zfold_backend_default():
+            # opt-in auto policy (MDT_ZBLOCK_G=<G>): mid-cin 3D convs where
+            # zband's z/ks inflation is prohibitive but lane padding still
+            # starves the MXU; chip A/B pending (tools/chip_queue.sh)
+            import os
+
+            env_g = os.environ.get("MDT_ZBLOCK_G")
+            if env_g and 4 < x.shape[-1] <= 36 and x.shape[-2] >= 32 and self.ks >= 3:
+                G = int(env_g)
+        if G and self.dim == 3 and same_geom:
+            x = _ZBlockBandedConv(
+                features=self.features, ks=self.ks, stride=stride, pad=self.pad,
+                G=G, kernel_init=_kinit(self.weight_init), dtype=self.dtype, name="Conv_0",
             )(x)
             return self._finish(x)
         f = self.zfold

@@ -88,6 +88,55 @@ class TestZBandEquivalence:
         assert not bb._zband_policy(1, 64, 7)
 
 
+def _make_block(cin, cout, ks, stride, pad, zblock):
+    return bb.ConvND(dim=3, features=cout, ks=ks, stride=stride, pad=pad,
+                     norm=None, relu=None, zblock=zblock, zband=False, zfold=1)
+
+
+BLOCK_CASES = [
+    # cin, cout, ks, stride, pad, G, spatial
+    (18, 18, 7, (2, 2, 1), 3, 7, (16, 16, 32)),   # retina_unet stem geometry
+    (18, 18, 3, (1, 1, 1), 1, 7, (12, 12, 32)),   # c0 conv2
+    (18, 36, 3, (1, 1, 1), 1, 8, (10, 10, 32)),   # G divides zo
+    (8, 16, 5, (1, 1, 2), 2, 4, (8, 8, 32)),      # strided z
+    (18, 18, 3, (2, 2, 2), 1, 7, (8, 8, 33)),     # odd z, strided
+]
+
+
+class TestZBlockBandEquivalence:
+    @pytest.mark.parametrize("cin,cout,ks,stride,pad,G,spatial", BLOCK_CASES)
+    def test_forward_matches_plain(self, cin, cout, ks, stride, pad, G, spatial):
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(2, *spatial, cin).astype(np.float32))
+        ref = _make_block(cin, cout, ks, stride, pad, zblock=0)
+        blk = _make_block(cin, cout, ks, stride, pad, zblock=G)
+        params = jax.jit(ref.init)(jax.random.PRNGKey(1), x)
+        out_ref = jax.jit(ref.apply)(params, x)
+        out_blk = jax.jit(blk.apply)(params, x)
+        assert out_ref.shape == out_blk.shape
+        np.testing.assert_allclose(np.asarray(out_blk), np.asarray(out_ref),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_gradients_match(self):
+        rng = np.random.RandomState(2)
+        x = jnp.asarray(rng.randn(2, 8, 8, 32, 18).astype(np.float32))
+        ref = _make_block(18, 18, 3, (1, 1, 1), 1, zblock=0)
+        blk = _make_block(18, 18, 3, (1, 1, 1), 1, zblock=7)
+        params = jax.jit(ref.init)(jax.random.PRNGKey(3), x)
+        cot_shape = jax.eval_shape(lambda p, xx: ref.apply(p, xx), params, x).shape
+        cot = jnp.asarray(rng.randn(*cot_shape).astype(np.float32))
+
+        def loss(mod, p, xx):
+            return jnp.sum(mod.apply(p, xx) * cot)
+
+        gp_ref, gx_ref = jax.jit(jax.grad(lambda p, xx: loss(ref, p, xx), argnums=(0, 1)))(params, x)
+        gp_blk, gx_blk = jax.jit(jax.grad(lambda p, xx: loss(blk, p, xx), argnums=(0, 1)))(params, x)
+        np.testing.assert_allclose(np.asarray(gx_blk), np.asarray(gx_ref), rtol=1e-4, atol=1e-4)
+        jax.tree_util.tree_map(
+            lambda a, c: np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=1e-4, atol=1e-4),
+            gp_blk, gp_ref)
+
+
 @pytest.mark.slow
 def test_full_3d_model_with_tpu_auto_policy(monkeypatch):
     """Simulate the TPU backend policy on CPU: the whole 3D mrcnn train step
