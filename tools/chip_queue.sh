@@ -49,4 +49,5 @@ stage ab_nozband 1800 env MDT_NO_ZBAND=1 python tools/ablate.py full
 stage ab_noremat 1800 env MDT_ABLATE_REMAT=0 python tools/ablate.py full
 stage ab_batch8 2400 env MDT_ABLATE_BATCH=8 python tools/ablate.py full
 stage ab_stage_loop 1800 env MDT_STAGE_MODE=loop python tools/probe.py cost
+stage ab_zblock7 1800 env MDT_ZBLOCK_G=7 python tools/ablate.py full
 echo "=== chip queue done $(date -u) ==="
