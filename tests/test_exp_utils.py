@@ -161,3 +161,48 @@ def test_snapshot_reimport_round_trip(tmp_path, monkeypatch):
         model_registry._REGISTRY.update(saved_registry)
         if saved_backbone is not None:
             sys.modules["medicaldetectiontoolkit_tpu.models.backbone"] = saved_backbone
+
+
+def test_get_logger_per_dir_isolation(tmp_path):
+    """Two exp dirs get independent loggers (concurrent folds don't
+    cross-write); re-init for the same dir swaps handlers idempotently."""
+    from medicaldetectiontoolkit_tpu.utils.exp_utils import get_logger
+
+    d1, d2 = tmp_path / "a", tmp_path / "b"
+    d1.mkdir(); d2.mkdir()
+    l1 = get_logger(str(d1))
+    l2 = get_logger(str(d2))
+    assert l1 is not l2
+    l1.info("alpha")
+    l2.info("beta")
+    assert "alpha" in (d1 / "exec.log").read_text()
+    assert "beta" not in (d1 / "exec.log").read_text()
+    assert "beta" in (d2 / "exec.log").read_text()
+    # re-init same dir: no duplicate handlers
+    l1b = get_logger(str(d1))
+    assert l1b is l1 and len(l1.handlers) == 2
+
+
+def test_maybe_initialize_distributed_requires_full_env(monkeypatch):
+    from medicaldetectiontoolkit_tpu.parallel import maybe_initialize_distributed
+
+    for var in ("MDT_DIST_COORD", "MDT_DIST_NPROCS", "MDT_DIST_RANK"):
+        monkeypatch.delenv(var, raising=False)
+    assert maybe_initialize_distributed() is False
+    monkeypatch.setenv("MDT_DIST_COORD", "127.0.0.1:1")  # partial env: still off
+    assert maybe_initialize_distributed() is False
+
+
+def test_save_checkpoint_atomic(tmp_path):
+    """params.pkl appears only complete — no .tmp residue left behind."""
+    import numpy as np
+    from medicaldetectiontoolkit_tpu.utils.exp_utils import (
+        load_checkpoint_state, save_checkpoint,
+    )
+
+    path = tmp_path / "ckpt"
+    save_checkpoint(str(path), {"params": {"w": np.ones(3)}, "epoch": 2})
+    assert (path / "params.pkl").is_file()
+    assert not (path / "params.pkl.tmp").exists()
+    state = load_checkpoint_state(str(path))
+    assert state["epoch"] == 2
