@@ -169,10 +169,11 @@ def make_spatial_predict(detector, mesh: Mesh, axis_names=(DATA_AXIS, SPACE_AXIS
     import inspect
 
     n_space = mesh.shape[axis_names[1]]
-    c5_y = detector.cf.patch_size[0] // 32  # Y is the sharded image axis
-    if c5_y < n_space:
+    deepest_stride = 64 if getattr(detector.cf, "sixth_pooling", False) else 32
+    c_deep_y = detector.cf.patch_size[0] // deepest_stride  # Y is the sharded axis
+    if c_deep_y < n_space:
         raise ValueError(
-            f"spatial axis {n_space} exceeds C5 Y-extent {c5_y} "
+            f"spatial axis {n_space} exceeds C5 Y-extent {c_deep_y} "
             f"(patch {detector.cf.patch_size}); use fewer 'space' shards"
         )
     repl = NamedSharding(mesh, P())
