@@ -43,6 +43,45 @@ import numpy as np
 REF_V100_PATCHES_PER_SEC = 2.4  # documented estimate, see module docstring
 
 
+def _probe_backend():
+    """Fail fast if the accelerator backend is unreachable.
+
+    Device discovery against a dead axon tunnel HANGS (it accepts TCP but the
+    backend never answers), so an unreachable chip used to burn the full
+    per-attempt timeout per batch size and surface to the driver as rc=124
+    with no JSON (BENCH_r02/r03). Probe in a bounded SUBPROCESS (the hang is
+    inside the PJRT plugin; an in-process alarm cannot reliably interrupt it)
+    and convert "tunnel down" into an explicit bench_error record in <=2 min.
+    """
+    import subprocess
+
+    timeout = int(os.environ.get("MDT_BENCH_PROBE_TIMEOUT", 120))
+    if timeout <= 0:  # escape hatch
+        return
+    try:
+        res = subprocess.run(
+            [sys.executable, "-c", "import jax; d=jax.devices(); print(d[0].platform)"],
+            capture_output=True,
+            text=True,
+            timeout=timeout,
+        )
+    except subprocess.TimeoutExpired:
+        raise RuntimeError(
+            f"backend unreachable: device discovery hung >{timeout}s (axon tunnel down?)"
+        )
+    if res.returncode != 0:
+        raise RuntimeError(
+            "backend probe failed: " + (res.stderr or res.stdout).strip()[-300:]
+        )
+    platform = res.stdout.strip().splitlines()[-1] if res.stdout.strip() else "?"
+    if platform == "cpu" and not os.environ.get("MDT_BENCH_ALLOW_CPU"):
+        raise RuntimeError(
+            "backend probe found only CPU (accelerator plugin not registered); "
+            "set MDT_BENCH_ALLOW_CPU=1 to bench on CPU anyway"
+        )
+    print(f"# backend probe ok: {platform}", file=sys.stderr)
+
+
 def main():
     """Try the reference batch size first, backing off on HBM exhaustion.
 
@@ -59,6 +98,10 @@ def main():
     # has never fit v5e HBM, and a cold-cache OOM attempt costs 10-20 min of
     # compile before failing), and bound each attempt's wall clock so one
     # wedged attempt can't eat the driver's whole budget.
+    if not os.environ.get("MDT_BENCH_PROBED"):
+        _probe_backend()
+        os.environ["MDT_BENCH_PROBED"] = "1"  # inherited: children skip re-probing
+
     batches = os.environ.get("MDT_BENCH_BATCH", "6,4").split(",")
     if len(batches) == 1:
         return _run(int(batches[0]))

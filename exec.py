@@ -148,23 +148,23 @@ def apply_dev_shrinkage(cf, args, folds):
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("-m", "--mode", type=str, default="train_test",
-                        help="one out of: train / test / train_test / analysis / create_exp")
+                        help="pipeline stage to run: train | test | train_test | analysis | create_exp")
     parser.add_argument("-f", "--folds", nargs="+", type=int, default=None,
-                        help="None runs over all folds in CV. otherwise specify list of folds.")
+                        help="cross-validation folds to process (default: every fold)")
     parser.add_argument("--exp_dir", type=str, default="/tmp/mdt_tpu_exp",
-                        help="path to experiment dir. will be created if non existent.")
+                        help="experiment output directory (created on demand)")
     parser.add_argument("--server_env", default=False, action="store_true",
-                        help="change IO settings to deploy models on a cluster.")
+                        help="switch IO paths to the cluster layout from the experiment config")
     parser.add_argument("--data_dest", type=str, default=None,
-                        help="path to final data folder if different from config.")
+                        help="override the config's preprocessed-data location")
     parser.add_argument("--use_stored_settings", default=False, action="store_true",
-                        help="load configs from existing exp_dir instead of source dir.")
+                        help="run with the config snapshot already in exp_dir rather than the source tree")
     parser.add_argument("--resume_to_checkpoint", type=str, default=None,
-                        help="checkpoint dir to resume from (specify fold via --folds).")
+                        help="checkpoint directory to continue training from (pick the fold via --folds)")
     parser.add_argument("--exp_source", type=str, default="experiments/toy_exp",
-                        help="specifies, from which source experiment to load configs and data_loader.")
+                        help="experiment package providing configs.py and data_loader.py")
     parser.add_argument("-d", "--dev", default=False, action="store_true",
-                        help="development mode: shorten everything")
+                        help="tiny-scale smoke mode: few batches, few epochs, one patient")
     args = parser.parse_args()
     folds = args.folds
     resume_to_checkpoint = args.resume_to_checkpoint
@@ -237,4 +237,4 @@ if __name__ == "__main__":
         logger.info(f"created experiment directory at {args.exp_dir}")
 
     else:
-        raise RuntimeError("mode specified in args is not implemented...")
+        raise RuntimeError(f"unknown --mode {args.mode!r}; see --help for the supported stages")

@@ -159,7 +159,18 @@ def spatial_augment_batch(data: np.ndarray, seg: np.ndarray, patch_size, da_kwar
                     mode="constant", cval=cval,
                 )
         for c in range(seg.shape[1]):
-            out_s[b, c] = native.map_coordinates_nearest(
-                seg[b, c].astype(np.uint8), coords, cval=0
-            ).astype(seg.dtype)
+            sl = seg[b, c]
+            # the native nearest kernel is uint8-only; labels outside [0, 255]
+            # (negative ignore labels, >255 instance ids) would silently wrap
+            # through the cast, so such segs stay on the scipy order-0 path
+            if sl.dtype == np.uint8 or (
+                np.issubdtype(sl.dtype, np.integer) and sl.min() >= 0 and sl.max() <= 255
+            ):
+                out_s[b, c] = native.map_coordinates_nearest(
+                    sl.astype(np.uint8), coords, cval=0
+                ).astype(seg.dtype)
+            else:
+                out_s[b, c] = ndimage.map_coordinates(
+                    sl.astype(np.float64), coords, order=0, mode="constant", cval=0
+                ).astype(seg.dtype)
     return out_d, out_s

@@ -60,13 +60,25 @@ def get_lib():
         if os.environ.get("MDT_NO_NATIVE") == "1":
             return None
         try:
-            if not os.path.isfile(_SO) or os.path.getmtime(_SO) < os.path.getmtime(
-                os.path.join(_HERE, "resample.cpp")
-            ):
+            # rebuild keyed on a content hash of the source, not mtimes:
+            # after a fresh clone mtimes are checkout-time (arbitrary order),
+            # and a stale-but-loadable binary would otherwise be used silently
+            import hashlib
+
+            with open(os.path.join(_HERE, "resample.cpp"), "rb") as f:
+                src_hash = hashlib.sha256(f.read()).hexdigest()
+            hash_file = _SO + ".srchash"
+            built_hash = None
+            if os.path.isfile(hash_file):
+                with open(hash_file) as f:
+                    built_hash = f.read().strip()
+            if not os.path.isfile(_SO) or built_hash != src_hash:
                 subprocess.run(
                     ["sh", os.path.join(_HERE, "build.sh")],
                     check=True, capture_output=True, timeout=120,
                 )
+                with open(hash_file, "w") as f:
+                    f.write(src_hash)
             _lib = _signatures(ctypes.CDLL(_SO))
         except Exception:  # no toolchain / load failure -> scipy fallback
             _lib = None

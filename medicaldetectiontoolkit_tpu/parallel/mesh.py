@@ -183,12 +183,29 @@ def make_spatial_predict(detector, mesh: Mesh, axis_names=(DATA_AXIS, SPACE_AXIS
     static = tuple(
         name for name in ("with_masks",) if name in inspect.signature(detector._predict).parameters
     )
-    return jax.jit(
+    jitted = jax.jit(
         detector._predict,
         in_shardings=(repl, img_sh),
         out_shardings=out_sh if n_outs == 1 else (out_sh,) * n_outs,
         static_argnames=static,
     )
+
+    def guarded(params, x, *args, **kwargs):
+        # the configured patch_size only bounds the COMMON case; the jit
+        # recompiles per image shape, so re-validate the cap against the Y
+        # actually passed — a smaller-than-patch input could shrink the
+        # deepest level under the shard count and re-expose the GSPMD
+        # scanned-stage miscompilation (see module docstring / tools/
+        # gspmd_scan_repro.py)
+        if x.shape[1] // deepest_stride < n_space:
+            raise ValueError(
+                f"spatial axis {n_space} exceeds deepest-level Y-extent "
+                f"{x.shape[1] // deepest_stride} for input Y={x.shape[1]} "
+                f"(stride {deepest_stride}); use fewer 'space' shards"
+            )
+        return jitted(params, x, *args, **kwargs)
+
+    return guarded
 
 
 def maybe_initialize_distributed(logger=None):

@@ -176,6 +176,18 @@ def _atomic_pickle(path, obj):
     os.replace(tmp, path)
 
 
+def _atomic_np_save(path, arr):
+    # same write-then-rename treatment as the pickles: epoch_ranking is what
+    # a preempted job's test-time ensembling reads, so it must never be
+    # observable half-written
+    if not path.endswith(".npy"):
+        path += ".npy"
+    tmp = path + ".tmp.npy"
+    with open(tmp, "wb") as handle:
+        np.save(handle, arr)
+    os.replace(tmp, path)
+
+
 def load_checkpoint_state(path):
     with open(os.path.join(path, "params.pkl"), "rb") as handle:
         return pickle.load(handle)
@@ -213,8 +225,8 @@ class ModelSelector:
             save_dir = os.path.join(self.cf.fold_dir, f"{epoch}_best_checkpoint")
             save_checkpoint(save_dir, {"params": net.params, "epoch": epoch})
             _atomic_pickle(os.path.join(save_dir, "monitor_metrics.pickle"), monitor_metrics)
-            np.save(os.path.join(self.cf.fold_dir, "epoch_ranking"), epoch_ranking[: self.cf.save_n_models])
-            np.save(os.path.join(save_dir, "epoch_ranking"), epoch_ranking[: self.cf.save_n_models])
+            _atomic_np_save(os.path.join(self.cf.fold_dir, "epoch_ranking"), epoch_ranking[: self.cf.save_n_models])
+            _atomic_np_save(os.path.join(save_dir, "epoch_ranking"), epoch_ranking[: self.cf.save_n_models])
             self.logger.info(f"saving current epoch {epoch} at rank {np.argwhere(epoch_ranking == epoch)}")
             # delete checkpoints that fell out of the top-k
             for se in [int(ii.split("_")[0]) for ii in os.listdir(self.cf.fold_dir) if "best_checkpoint" in ii]:
@@ -227,7 +239,7 @@ class ModelSelector:
         state = dict(net.state_dict())
         state["epoch"] = epoch
         save_checkpoint(save_dir, state)
-        np.save(os.path.join(save_dir, "epoch_ranking"), epoch_ranking[: self.cf.save_n_models])
+        _atomic_np_save(os.path.join(save_dir, "epoch_ranking"), epoch_ranking[: self.cf.save_n_models])
         _atomic_pickle(os.path.join(save_dir, "monitor_metrics.pickle"), monitor_metrics)
 
 

@@ -115,11 +115,34 @@ except ValueError as e:
     assert 'C5 Y-extent' in str(e)
 else:
     raise AssertionError('cap did not trigger')
+
+# runtime cap: a predict built under patch 128 must still refuse an ACTUAL
+# image whose deepest-level Y shrinks under the shard count (jit would
+# happily recompile for the smaller shape, re-exposing the GSPMD bug)
+try:
+    pred(net.params, img[:, :64])
+except ValueError as e:
+    assert 'Y-extent' in str(e)
+else:
+    raise AssertionError('runtime cap did not trigger')
 print('SPATIAL-OK')
 """
     res = run_cpu_subprocess(code)
     assert res.returncode == 0, res.stderr[-3000:]
     assert "SPATIAL-OK" in res.stdout
+
+
+@pytest.mark.slow
+def test_gspmd_scan_repro_documents_cap():
+    """The GSPMD sub-shard-extent miscompilation the make_spatial_predict cap
+    fences must still reproduce exactly as documented (safe region exact,
+    fenced region wrong). If a jax upgrade fixes it, this fails and the cap
+    can be relaxed; if the failing region MOVES, this also fails — the cap
+    must then be re-derived. See tools/gspmd_scan_repro.py."""
+    res = run_cpu_subprocess(
+        "import runpy, sys; sys.argv=['x']; runpy.run_path('tools/gspmd_scan_repro.py', run_name='__main__')"
+    )
+    assert "REPRO-PATTERN-HOLDS" in res.stdout, res.stdout[-2000:] + res.stderr[-1000:]
 
 
 @pytest.mark.slow
