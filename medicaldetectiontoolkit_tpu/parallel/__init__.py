@@ -14,6 +14,7 @@ from medicaldetectiontoolkit_tpu.parallel.mesh import (  # noqa: F401
     make_data_parallel_predict,
     make_data_parallel_step,
     make_spatial_predict,
+    make_spatial_train_step,
     maybe_initialize_distributed,
     shard_batch,
 )

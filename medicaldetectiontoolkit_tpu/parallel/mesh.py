@@ -169,13 +169,7 @@ def make_spatial_predict(detector, mesh: Mesh, axis_names=(DATA_AXIS, SPACE_AXIS
     import inspect
 
     n_space = mesh.shape[axis_names[1]]
-    deepest_stride = 64 if getattr(detector.cf, "sixth_pooling", False) else 32
-    c_deep_y = detector.cf.patch_size[0] // deepest_stride  # Y is the sharded axis
-    if c_deep_y < n_space:
-        raise ValueError(
-            f"spatial axis {n_space} exceeds C5 Y-extent {c_deep_y} "
-            f"(patch {detector.cf.patch_size}); use fewer 'space' shards"
-        )
+    deepest_stride = _check_space_cap(detector.cf, n_space, detector.cf.patch_size[0])
     repl = NamedSharding(mesh, P())
     img_sh = NamedSharding(mesh, P(axis_names[0], axis_names[1]))
     out_sh = NamedSharding(mesh, P(axis_names[0]))
@@ -204,6 +198,83 @@ def make_spatial_predict(detector, mesh: Mesh, axis_names=(DATA_AXIS, SPACE_AXIS
                 f"(stride {deepest_stride}); use fewer 'space' shards"
             )
         return jitted(params, x, *args, **kwargs)
+
+    return guarded
+
+
+def _check_space_cap(cf, n_space, y_extent):
+    """Refuse spatial shardings whose deepest pyramid level would shrink
+    under the shard count — GSPMD returns wrong values there (verified:
+    tools/gspmd_scan_repro.py; both scanned and unrolled stage forms)."""
+    deepest_stride = 64 if getattr(cf, "sixth_pooling", False) else 32
+    c_deep_y = y_extent // deepest_stride
+    if c_deep_y < n_space:
+        raise ValueError(
+            f"spatial axis {n_space} exceeds C5 Y-extent {c_deep_y} "
+            f"for Y={y_extent} (stride {deepest_stride}); use fewer 'space' shards"
+        )
+    return deepest_stride
+
+
+def make_spatial_train_step(detector, mesh: Mesh, axis_names=(DATA_AXIS, SPACE_AXIS)):
+    """Training over a 2D (data x space) mesh: batch on 'data', image Y on
+    'space', gradients all-reduced over BOTH axes by GSPMD.
+
+    This attacks the single-chip HBM ceiling from the memory side: the
+    binding constraint at LIDC 3D geometry is the full-resolution conv
+    activations (lane-padded small channel counts), which are exactly the
+    tensors spatial partitioning splits. Batch tensors without a leading
+    image-spatial axis (gt boxes/ids/valid) stay data-sharded; per-GT full
+    image masks (B, G, *spatial) shard their Y at dim 2. The anchor-space
+    losses downstream of the heads reshard as GSPMD sees fit — per-anchor
+    tensors are orders of magnitude smaller than the conv activations.
+
+    Same deepest-level extent cap as make_spatial_predict (the GSPMD
+    sub-shard-extent miscompilation, tools/gspmd_scan_repro.py), checked
+    against the configured patch size at build time and the actual image
+    shape per call.
+    """
+    import inspect
+
+    n_space = mesh.shape[axis_names[1]]
+    deepest_stride = _check_space_cap(detector.cf, n_space, detector.cf.patch_size[0])
+
+    repl = NamedSharding(mesh, P())
+    data_sh = NamedSharding(mesh, P(axis_names[0]))
+    img_sh = NamedSharding(mesh, P(axis_names[0], axis_names[1]))  # (b, Y, ..., c)
+    # seg is (b, 1, *spatial) int (channel-first, base.seg_to_device) and
+    # gt_masks is (b, G, *spatial): Y sits at dim 2 for both
+    y2_sh = NamedSharding(mesh, P(axis_names[0], None, axis_names[1]))
+
+    params_list = list(inspect.signature(detector._train_step).parameters)
+    n_lead = getattr(detector, "train_step_n_replicated_in", 4)
+    spec_by_name = {"img": img_sh, "seg": y2_sh, "gt_masks": y2_sh}
+    in_shardings = tuple(
+        repl if i < n_lead else spec_by_name.get(name, data_sh)
+        for i, name in enumerate(params_list)
+    )
+    img_pos = params_list.index("img") if "img" in params_list else n_lead
+    n_outs = getattr(detector, "train_step_n_outputs", 5)
+    # batch-shaped step outputs (head tensors for detection refinement) are
+    # gathered onto 'data' only — their spatial axes are already flattened
+    out_shardings = (repl, repl, repl) + (data_sh,) * (n_outs - 3)
+
+    jitted = jax.jit(
+        detector._train_step,
+        in_shardings=in_shardings,
+        out_shardings=out_shardings,
+        donate_argnums=(0, 1),
+    )
+
+    def guarded(*args):
+        x = args[img_pos]
+        if x.shape[1] // deepest_stride < n_space:
+            raise ValueError(
+                f"spatial axis {n_space} exceeds deepest-level Y-extent "
+                f"{x.shape[1] // deepest_stride} for input Y={x.shape[1]} "
+                f"(stride {deepest_stride}); use fewer 'space' shards"
+            )
+        return jitted(*args)
 
     return guarded
 
