@@ -5,6 +5,8 @@ no toolchain is present these tests exercise the scipy fallback path and
 still pass (get_lib() returning None makes the wrappers call scipy).
 """
 
+import os
+
 import numpy as np
 import pytest
 from scipy import ndimage
@@ -82,3 +84,49 @@ def test_augmentation_native_equals_scipy_path(monkeypatch):
 
     np.testing.assert_allclose(d1, d2, rtol=1e-4, atol=1e-4)
     np.testing.assert_array_equal(s1, s2)
+
+
+def test_openmp_multithreaded_paths_match_single_thread():
+    """Force OMP_NUM_THREADS=4 on this (1-core) box and pin that every
+    parallel code path produces output identical to the 1-thread run —
+    the OpenMP decomposition must not change results (static schedule,
+    per-line accumulation). Thread count is read at library load, so each
+    configuration runs in its own subprocess."""
+    import json
+    import subprocess
+    import sys
+
+    code = """
+import json, numpy as np
+from medicaldetectiontoolkit_tpu import native
+lib = native.get_lib()
+if lib is None:
+    print(json.dumps({"skip": True}))
+    raise SystemExit(0)
+rng = np.random.RandomState(5)
+src = rng.randn(19, 17, 13).astype(np.float32)
+seg = rng.randint(0, 9, size=(19, 17, 13)).astype(np.uint8)
+coords = np.stack([rng.uniform(-2.0, 20.0, size=5000) for _ in range(3)])
+lin = native.map_coordinates_linear(src, coords, cval=0.3)
+near = native.map_coordinates_nearest(seg, coords, cval=0)
+gauss = native.gaussian_filter_constant(src.astype(np.float64), 2.5)
+print(json.dumps({
+    "skip": False,
+    "threads": lib.native_num_threads(),
+    "lin": lin.tolist(), "near": near.tolist(), "gauss": gauss.ravel().tolist(),
+}))
+"""
+    outs = {}
+    for n in ("1", "4"):
+        env = dict(os.environ)
+        env["OMP_NUM_THREADS"] = n
+        res = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                             text=True, env=env, timeout=300)
+        assert res.returncode == 0, res.stderr[-2000:]
+        outs[n] = json.loads(res.stdout.splitlines()[-1])
+    if outs["1"]["skip"] or outs["4"]["skip"]:
+        pytest.skip("native library unavailable; scipy fallback in use")
+    assert outs["4"]["threads"] == 4  # OMP honors the forced count
+    np.testing.assert_array_equal(np.array(outs["1"]["lin"]), np.array(outs["4"]["lin"]))
+    np.testing.assert_array_equal(np.array(outs["1"]["near"]), np.array(outs["4"]["near"]))
+    np.testing.assert_array_equal(np.array(outs["1"]["gauss"]), np.array(outs["4"]["gauss"]))

@@ -44,10 +44,32 @@ stage conv3d_retina_unet 7200 python tools/convergence3d.py --model retina_unet 
 stage trace_step 1800 python tools/trace.py
 
 # --- A/B matrix (ablate.py 'full' = the real train step, elision-safe) ----
+# PROMOTION RULE (decided in advance, acted on in-session when results land):
+#   ab_zblock7 full-step time <= 0.95 * ab_base  ->  promote zblock G=7 to
+#   auto-dispatch for the cin-18 3D stem (move from MDT_ZBLOCK_G env opt-in
+#   into the _zfold_policy-style default in backbone.py, same SAME-geometry
+#   gate); 0.95..1.0 -> keep opt-in; > 1.0 -> document the null result in
+#   BASELINE.md and drop the env knob.
+#   Same rule for ab_nozband vs ab_base: if removing zband WINS, flip the
+#   auto-policy default off.
 stage ab_base 1800 python tools/ablate.py full
 stage ab_nozband 1800 env MDT_NO_ZBAND=1 python tools/ablate.py full
 stage ab_noremat 1800 env MDT_ABLATE_REMAT=0 python tools/ablate.py full
 stage ab_batch8 2400 env MDT_ABLATE_BATCH=8 python tools/ablate.py full
 stage ab_stage_loop 1800 env MDT_STAGE_MODE=loop python tools/probe.py cost
 stage ab_zblock7 1800 env MDT_ZBLOCK_G=7 python tools/ablate.py full
+
+# --- toy quality table at the REFERENCE schedule (24 ep x 100 x bs 20,
+# 1000 train / 100 val / 400 test; data pre-generated at /tmp/toy_mdt).
+# mrcnn first: its round-2 run died at epoch 6/24 in the tunnel outage.
+toy() {
+  local model=$1 tmo=$2
+  stage "toy_$model" "$tmo" env MDT_MODEL="$model" MDT_TOY_MAXVAL=100 MDT_TOY_MAXTEST=400 \
+    python exec.py --mode train_test --exp_source experiments/toy_exp \
+    --exp_dir "/tmp/toy24_$model" --folds 0
+}
+toy mrcnn 14400
+toy retina_net 10800
+toy ufrcnn 10800
+toy detection_unet 10800
 echo "=== chip queue done $(date -u) ==="
