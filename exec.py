@@ -37,7 +37,10 @@ def train(cf, data_loader, logger):
 
     net = build_model(cf, logger)
     net.initialize()
-    if getattr(cf, "n_data_parallel", None) and cf.n_data_parallel > 1:
+    if getattr(cf, "n_space_parallel", None) and cf.n_space_parallel > 1:
+        # 2D (data x space) mesh: for patches too large for one chip's HBM
+        net.enable_spatial_parallel()
+    elif getattr(cf, "n_data_parallel", None) and cf.n_data_parallel > 1:
         net.enable_data_parallel()
     model_selector = utils.ModelSelector(cf, logger)
     train_evaluator = Evaluator(cf, logger, mode="train")

@@ -46,6 +46,16 @@ class configs(DefaultConfigs):
         self.patch_size_2D = [288, 288]
         self.pre_crop_size_3D = [156, 156, 96]
         self.patch_size_3D = [128, 128, 64]
+        # scripted-run override (tools/convergence3d.py CPU smoke): shrink the
+        # training geometry, keeping pre-crop slack proportional
+        if os.environ.get("MDT_LIDC_PATCH"):
+            p = [int(v) for v in os.environ["MDT_LIDC_PATCH"].split(",")]
+            if self.dim == 2:
+                self.patch_size_2D = p[:2]
+                self.pre_crop_size_2D = [s + 12 for s in p[:2]]
+            else:
+                self.patch_size_3D = p[:3]
+                self.pre_crop_size_3D = [p[0] + 28, p[1] + 28, p[2] + 16]
         self.patch_size = self.patch_size_2D if self.dim == 2 else self.patch_size_3D
         self.pre_crop_size = self.pre_crop_size_2D if self.dim == 2 else self.pre_crop_size_3D
 

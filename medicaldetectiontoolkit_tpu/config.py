@@ -114,3 +114,10 @@ class DefaultConfigs:
         self.profile = False
         # data-parallel devices; None = all visible
         self.n_data_parallel = None
+        # spatial ('space' mesh axis) shards of the image Y axis for training
+        # AND the data-parallel factor alongside it; > 1 builds the 2D
+        # (n_data_parallel x n_space_parallel) mesh and spatially partitions
+        # the train step (parallel.mesh.make_spatial_train_step) — for
+        # patches whose activations exceed one device's HBM. Subject to the
+        # deepest-pyramid-level extent cap.
+        self.n_space_parallel = None

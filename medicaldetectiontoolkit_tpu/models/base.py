@@ -212,6 +212,23 @@ class Detector:
             self.logger.info(f"data-parallel training over {len(self._mesh.devices.ravel())} devices")
         return self._mesh
 
+    def enable_spatial_parallel(self, n_data=None, n_space=None):
+        """Re-jit the train step over a 2D (data x space) mesh: batch sharded
+        on 'data', image Y on 'space' (GSPMD conv halo exchanges), gradients
+        all-reduced over both axes. Use when one device's HBM cannot hold the
+        full-resolution activations at the desired batch size. Subject to the
+        deepest-pyramid-level extent cap (see parallel.mesh._check_space_cap).
+        """
+        from medicaldetectiontoolkit_tpu.parallel import mesh as pmesh
+
+        n_d = n_data or getattr(self.cf, "n_data_parallel", None) or 1
+        n_s = n_space or getattr(self.cf, "n_space_parallel", None) or 1
+        self._mesh = pmesh.get_mesh_2d(n_d, n_s)
+        self._train_step_fn = pmesh.make_spatial_train_step(self, self._mesh)
+        if self.logger is not None:
+            self.logger.info(f"spatially-partitioned training over {n_d}x{n_s} (data x space) devices")
+        return self._mesh
+
     def enable_data_parallel_inference(self, n_devices=None):
         """Shard the jitted predict fn over a device mesh (batch on axis 0,
         params replicated). Per-element outputs match the single-device path

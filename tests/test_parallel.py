@@ -179,6 +179,42 @@ print('SPATIAL-TRAIN-OK')
 
 
 @pytest.mark.slow
+def test_enable_spatial_parallel_train_forward():
+    """The trainer-facing wiring: enable_spatial_parallel swaps the jitted
+    step for the 2D-mesh one and the host-level train_forward keeps working
+    (same loss as the plain step at fixed rng)."""
+    code = """
+import numpy as np
+from medicaldetectiontoolkit_tpu.models import build_model
+from medicaldetectiontoolkit_tpu.testing import make_config, make_batch
+
+class L:
+    def info(self, *a, **k): pass
+
+cf = make_config(model='retina_net', dim=2, batch_size=4, patch_size=[128, 128])
+net = build_model(cf, L())
+net.initialize(seed=0)
+net.current_lr = 1e-4
+batch = make_batch(cf)
+r1 = net.train_forward(dict(batch))
+loss1 = float(r1['monitor_values']['loss'])
+
+net2 = build_model(cf, L())
+net2.initialize(seed=0)
+net2.current_lr = 1e-4
+net2.enable_spatial_parallel(2, 4)
+r2 = net2.train_forward(dict(batch))
+loss2 = float(r2['monitor_values']['loss'])
+print('LOSSES', loss1, loss2)
+assert abs(loss1 - loss2) < 1e-5, (loss1, loss2)
+print('SPATIAL-WIRING-OK')
+"""
+    res = run_cpu_subprocess(code)
+    assert res.returncode == 0, res.stderr[-3000:]
+    assert "SPATIAL-WIRING-OK" in res.stdout
+
+
+@pytest.mark.slow
 def test_gspmd_scan_repro_documents_cap():
     """The GSPMD sub-shard-extent miscompilation the make_spatial_predict cap
     fences must still reproduce exactly as documented (safe region exact,

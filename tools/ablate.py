@@ -78,8 +78,9 @@ def main(variants):
 
     bs = int(os.environ.get("MDT_ABLATE_BATCH", 4))
     sf = int(os.environ.get("MDT_ABLATE_SF", 18))
+    patch = [int(v) for v in os.environ.get("MDT_ABLATE_PATCH", "128,128,64").split(",")]
     cf = make_config(
-        model="retina_unet", dim=3, patch_size=[128, 128, 64],
+        model="retina_unet", dim=3, patch_size=patch,
         start_filts=sf, end_filts=sf * 2, batch_size=bs,
     )
     cf.n_rpn_features = 64

@@ -23,16 +23,17 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def ensure_data(root, n_patients, seed=7):
+def ensure_data(root, n_patients, seed=7, shape=(100, 176, 176)):
     pp = os.path.join(root, "lidc_mdt")
     marker = os.path.join(pp, "info_df.pickle")
     if os.path.isfile(marker):
         return pp
     from experiments.lidc_exp.preprocessing import generate_synthetic_lidc
 
-    # volumes comfortably larger than the 128x128x64 patch / 156x156x96
-    # pre-crop so patient tiling and fg-biased cropping are exercised
-    generate_synthetic_lidc(pp, n_patients=n_patients, shape=(100, 176, 176),
+    # default volumes comfortably larger than the 128x128x64 patch /
+    # 156x156x96 pre-crop so patient tiling and fg-biased cropping are
+    # exercised (shape is (z, y, x))
+    generate_synthetic_lidc(pp, n_patients=n_patients, shape=shape,
                             n_nodules=(1, 4), seed=seed)
     return pp
 
@@ -47,12 +48,20 @@ def main():
     ap.add_argument("--root", default="/tmp/lidc_synth")
     ap.add_argument("--exp_dir", default=None)
     ap.add_argument("--mode", default="train_test")
+    ap.add_argument("--patch", default=None,
+                    help="shrink patch geometry, e.g. 48,48,16 (CPU smoke of "
+                         "this script before spending chip time on it)")
+    ap.add_argument("--shape", default=None,
+                    help="synthetic volume (z,y,x), e.g. 40,104,104")
     args = ap.parse_args()
 
-    pp = ensure_data(args.root, args.n_patients)
+    shape = tuple(int(v) for v in args.shape.split(",")) if args.shape else (100, 176, 176)
+    pp = ensure_data(args.root, args.n_patients, shape=shape)
     exp_dir = args.exp_dir or f"/tmp/conv3d_{args.model}"
 
     env = dict(os.environ)
+    if args.patch:
+        env["MDT_LIDC_PATCH"] = args.patch
     env.update(
         MDT_LIDC_ROOT=args.root,
         MDT_LIDC_PP=pp,
