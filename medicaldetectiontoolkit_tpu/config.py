@@ -112,12 +112,17 @@ class DefaultConfigs:
         # capture a jax.profiler trace of a few steps of the first epoch into
         # exp_dir/profile (inspect with TensorBoard / xprof)
         self.profile = False
-        # data-parallel devices; None = all visible
-        self.n_data_parallel = None
+        # data-parallel devices; None = all visible. MDT_DP overrides for
+        # scripted runs (chip queue / multi-host launches).
+        self.n_data_parallel = (
+            int(os.environ["MDT_DP"]) if os.environ.get("MDT_DP") else None
+        )
         # spatial ('space' mesh axis) shards of the image Y axis for training
         # AND the data-parallel factor alongside it; > 1 builds the 2D
         # (n_data_parallel x n_space_parallel) mesh and spatially partitions
         # the train step (parallel.mesh.make_spatial_train_step) — for
         # patches whose activations exceed one device's HBM. Subject to the
-        # deepest-pyramid-level extent cap.
-        self.n_space_parallel = None
+        # deepest-pyramid-level extent cap. MDT_SP overrides.
+        self.n_space_parallel = (
+            int(os.environ["MDT_SP"]) if os.environ.get("MDT_SP") else None
+        )
