@@ -556,11 +556,18 @@ class FPN(nn.Module):
             c0 = x
             c1 = Stem(features=sf, ks=7, stride=stem_stride, pad=3, **kw)(x)
 
+        # space_fence: under spatial partitioning, stages whose output Y
+        # extent is small are forced space-replicated — GSPMD miscomputes
+        # the partitioned backbone at tiny stage extents with >1 data shard
+        # (parallel/mesh.py module comment has the measured boundary; no-op
+        # outside spatially-partitioned jits)
+        from medicaldetectiontoolkit_tpu.parallel.mesh import space_fence
+
         c2 = _maxpool(c1, d)
-        c2 = res_stage(c2, sf, n_blocks[0], 1, **bkw)
-        c3 = res_stage(c2, sf * 2, n_blocks[1], 2, **bkw)
-        c4 = res_stage(c3, sf * 4, n_blocks[2], 2, **bkw)
-        c5 = res_stage(c4, sf * 8, n_blocks[3], 2, **bkw)
+        c2 = res_stage(space_fence(c2), sf, n_blocks[0], 1, **bkw)
+        c3 = res_stage(space_fence(c2, next_stride=2), sf * 2, n_blocks[1], 2, **bkw)
+        c4 = res_stage(space_fence(c3, next_stride=2), sf * 4, n_blocks[2], 2, **bkw)
+        c5 = res_stage(space_fence(c4, next_stride=2), sf * 8, n_blocks[3], 2, **bkw)
 
         lat = dict(dim=d, norm=None, relu=None, weight_init=self.weight_init, dtype=self.dtype)
         up2 = (2,) * d

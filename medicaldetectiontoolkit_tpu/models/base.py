@@ -197,6 +197,17 @@ class Detector:
     # arity of _train_step's output tuple (subclasses override if different)
     train_step_n_outputs = 5
 
+    # dispatch/convert split (models override both): dispatch enqueues the
+    # device work and returns un-forced handles; convert forces them into the
+    # reference results dict. The trainer/Predictor pipeline one step deep so
+    # host-side box building overlaps device compute. These defaults degrade
+    # a custom detector that only implements train_forward to serial.
+    def train_forward_dispatch(self, batch, is_validation: bool = False, do_update: bool = True):
+        return self.train_forward(batch, is_validation, do_update)
+
+    def train_forward_convert(self, handles, batch):
+        return handles
+
     def enable_data_parallel(self, n_devices=None):
         """Re-jit the train step with data-parallel shardings over a device
         mesh (params replicated, batch sharded; XLA inserts the gradient
@@ -228,6 +239,22 @@ class Detector:
         if self.logger is not None:
             self.logger.info(f"spatially-partitioned training over {n_d}x{n_s} (data x space) devices")
         return self._mesh
+
+    def enable_spatial_parallel_inference(self, n_data=None, n_space=None):
+        """Shard the jitted predict over the 2D (data x space) mesh — batch
+        on 'data', image Y on 'space' (GSPMD conv halos); for volumes whose
+        inference activations exceed one device's HBM. Bit-exact vs the
+        single-device path (tests/test_parallel.py); subject to the
+        deepest-level extent cap, re-checked per call."""
+        from medicaldetectiontoolkit_tpu.parallel import mesh as pmesh
+
+        n_d = n_data or getattr(self.cf, "n_data_parallel", None) or 1
+        n_s = n_space or getattr(self.cf, "n_space_parallel", None) or 1
+        mesh = pmesh.get_mesh_2d(n_d, n_s)
+        self._predict_fn = pmesh.make_spatial_predict(self, mesh)
+        if self.logger is not None:
+            self.logger.info(f"spatially-partitioned inference over {n_d}x{n_s} (data x space) devices")
+        return mesh
 
     def enable_data_parallel_inference(self, n_devices=None):
         """Shard the jitted predict fn over a device mesh (batch on axis 0,

@@ -197,9 +197,81 @@ def make_spatial_predict(detector, mesh: Mesh, axis_names=(DATA_AXIS, SPACE_AXIS
                 f"{x.shape[1] // deepest_stride} for input Y={x.shape[1]} "
                 f"(stride {deepest_stride}); use fewer 'space' shards"
             )
-        return jitted(params, x, *args, **kwargs)
+        # tracing happens inside this call (first time per shape) — the
+        # context makes the backbone's space_fence() constraints active
+        with _spatial_trace(mesh, axis_names):
+            out = jitted(params, x, *args, **kwargs)
+        if os.environ.get("MDT_SP_VERIFY") and x.shape not in _verified:
+            # one-time per shape: compare against the unsharded program
+            # (opt-in — it runs the single-device forward, which may not fit
+            # HBM for the volumes spatial sharding exists for)
+            ref = jax.jit(detector._predict, static_argnames=static)(params, x, *args, **kwargs)
+            for a, b in zip(jax.tree_util.tree_leaves(ref), jax.tree_util.tree_leaves(out)):
+                np.testing.assert_allclose(
+                    np.asarray(a, np.float64), np.asarray(b, np.float64), atol=1e-5,
+                    err_msg="spatial-predict verify failed: GSPMD fence insufficient "
+                            "at this geometry (see parallel/mesh.py module comment)")
+            _verified.add(x.shape)
+        return out
 
+    _verified: set = set()
     return guarded
+
+
+# ---- spatial-partitioning trace context ---------------------------------
+#
+# GSPMD mis-partitions the backbone once stage spatial extents get tiny
+# (measured on the REAL model: retina_net 2D @ patch 64, mesh (2,2) or
+# (4,2), fence off -> head logits wrong by 0.1-0.3 vs single device; the
+# same program on a (1,2) mesh is exact to 4e-7, so >1 'data' shard is part
+# of the trigger). The wrong-answer boundary is IRREGULAR: patch 128 with
+# every stage sharded is clean on (2,4) while patch 64's stride-2 stage
+# (out extent 8, 4 rows/shard) is wrong on (2,2) — and an isolated
+# stride-2+scan stage repro (tools/gspmd_scan_repro.py) reproduces none of
+# it, i.e. the miscompilation needs the surrounding program. So rather than
+# model the boundary, the backbone calls space_fence() on each stage input:
+# inside a spatially-partitioned trace, tensors whose Y extent is below a
+# CONSERVATIVE threshold are constrained to be REPLICATED over 'space'
+# (sharded on 'data' only). Deep pyramid levels are tiny, so replicating
+# them costs negligible memory/compute while stepping far away from the
+# partitioner's wrong-answer region.
+
+_SPATIAL_TRACE_CTX: list = []  # stack of (mesh, axis_names)
+
+# minimum Y extent a 'space'-sharded tensor may have while feeding a conv
+# stage; below this it is replicated over 'space'. Set conservatively:
+# out-extent 8 over 2 shards is WRONG at one measured geometry, and the
+# boundary is irregular (see module comment), so the fence trips at <32.
+# Validated exact (<=5.2e-7, conv reduction-order noise) on the full
+# retina_net at patch {64,128} x mesh {(2,2),(4,2),(2,4)}; belt-and-braces:
+# MDT_SP_VERIFY=1 adds a one-time per-shape runtime check vs the unsharded
+# program (tests/test_parallel.py exercises it).
+_SAFE_SPACE_EXTENT = 32
+
+
+class _spatial_trace:
+    def __init__(self, mesh, axis_names):
+        self.item = (mesh, axis_names)
+
+    def __enter__(self):
+        _SPATIAL_TRACE_CTX.append(self.item)
+
+    def __exit__(self, *exc):
+        _SPATIAL_TRACE_CTX.pop()
+
+
+def space_fence(x, y_axis: int = 1, next_stride: int = 1):
+    """Inside a spatially-partitioned trace: replicate x over 'space' if the
+    NEXT stage's output Y extent (x's extent / next_stride) is too small to
+    shard safely (see module comment). Identity outside spatially-partitioned
+    jits and for large extents — so models call it unconditionally."""
+    if not _SPATIAL_TRACE_CTX or x.ndim <= y_axis:
+        return x
+    mesh, axis_names = _SPATIAL_TRACE_CTX[-1]
+    out_extent = x.shape[y_axis] // max(next_stride, 1)
+    if out_extent >= max(_SAFE_SPACE_EXTENT, 2 * mesh.shape[axis_names[1]]):
+        return x
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(axis_names[0])))
 
 
 def _check_space_cap(cf, n_space, y_extent):
@@ -274,7 +346,8 @@ def make_spatial_train_step(detector, mesh: Mesh, axis_names=(DATA_AXIS, SPACE_A
                 f"{x.shape[1] // deepest_stride} for input Y={x.shape[1]} "
                 f"(stride {deepest_stride}); use fewer 'space' shards"
             )
-        return jitted(*args)
+        with _spatial_trace(mesh, axis_names):
+            return jitted(*args)
 
     return guarded
 

@@ -83,11 +83,15 @@ def test_spatial_partitioned_inference_matches_single_device():
     exchanges in the convs — predictions must be bit-exact vs one device.
     Also pins the safety cap: space shards beyond the C5 Y-extent refuse."""
     code = """
+import os
 import jax, numpy as np
 import jax.numpy as jnp
 from medicaldetectiontoolkit_tpu.models import build_model, base as model_base
 from medicaldetectiontoolkit_tpu.parallel import get_mesh_2d, make_spatial_predict
+from medicaldetectiontoolkit_tpu.parallel import mesh as pmesh
 from medicaldetectiontoolkit_tpu.testing import make_config, make_batch
+
+os.environ['MDT_SP_VERIFY'] = '1'  # exercise the one-time runtime self-check
 
 class L:
     def info(self, *a, **k): pass
@@ -104,6 +108,24 @@ pred = make_spatial_predict(net, mesh)
 out = pred(net.params, img)
 for a, b in zip(jax.tree_util.tree_leaves(ref), jax.tree_util.tree_leaves(out)):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+# the GSPMD miscompilation pin: with the space_fence disabled at a measured
+# known-bad geometry (patch 64, mesh (2,2) — head logits wrong by ~0.1),
+# the MDT_SP_VERIFY runtime check must catch it; with the real fence the
+# same geometry passes (covered by the Predictor-level spatial test)
+pmesh._SAFE_SPACE_EXTENT = 0
+cf64 = make_config(model='retina_net', dim=2, batch_size=4, patch_size=[64, 64])
+net64 = build_model(cf64, L())
+net64.initialize(seed=0)
+img64 = model_base.image_to_device(make_batch(cf64)['data'])
+pred64 = make_spatial_predict(net64, get_mesh_2d(2, 2))
+try:
+    pred64(net64.params, img64)
+except AssertionError as e:
+    assert 'verify failed' in str(e), str(e)[:500]
+else:
+    raise AssertionError('MDT_SP_VERIFY did not catch the known-bad geometry')
+pmesh._SAFE_SPACE_EXTENT = 32
 
 # cap: 4-way space > C5 Y-extent 2 (patch 64) must refuse
 cf_small = make_config(model='retina_net', dim=2, batch_size=2, patch_size=[64, 64])
@@ -303,7 +325,26 @@ r8 = p8.predict_patient(dict(patient))
 assert_boxes_match(boxes_of(r1), boxes_of(r8))
 np.testing.assert_array_equal(np.asarray(r1['seg_preds']), np.asarray(r8['seg_preds']))
 print('SHARDED-INFER-OK', len(r1['boxes']))
+
+# spatially-partitioned inference through the Predictor: needs patch Y/32
+# >= n_space, so re-run the whole thing at patch 64 on a 2x2 mesh and
+# compare against ITS single-device baseline (spatial predict is bit-exact)
+cf.patch_size = [64, 64]; cf.patch_size_2D = [64, 64]; cf.batch_size = 4
+net64 = build_model(cf, L())
+net64.initialize(seed=3)
+save_checkpoint(os.path.join(cf.fold_dir, '1_best_checkpoint'), {'params': net64.params, 'epoch': 1})
+gen = dl.get_test_generator(cf, L())
+patient64 = next(gen['test'])
+
+cf.n_data_parallel = None; cf.n_space_parallel = None
+rs1 = Predictor(cf, net64, L(), mode='test').predict_patient(dict(patient64))
+cf.n_data_parallel = 2; cf.n_space_parallel = 2
+rs2 = Predictor(cf, net64, L(), mode='test').predict_patient(dict(patient64))
+assert_boxes_match(boxes_of(rs1), boxes_of(rs2))
+np.testing.assert_array_equal(np.asarray(rs1['seg_preds']), np.asarray(rs2['seg_preds']))
+print('SPATIAL-INFER-PREDICTOR-OK', len(rs1['boxes']))
 """
     res = run_cpu_subprocess(code)
     assert res.returncode == 0, res.stderr[-3000:]
     assert "SHARDED-INFER-OK" in res.stdout
+    assert "SPATIAL-INFER-PREDICTOR-OK" in res.stdout
