@@ -64,6 +64,28 @@ def train(cf, data_loader, logger):
         train_results_list = []
 
         profiling = getattr(cf, "profile", False) and epoch == starting_epoch
+        # one-step-deep software pipeline: dispatch step i+1 to the device
+        # BEFORE converting step i's results on the host (box building,
+        # logging, metric floats all force device->host syncs) — the device
+        # never idles on host monitoring. MDT_TRAIN_PIPELINE=0 restores the
+        # strictly-serial loop (identical results, order preserved).
+        pipelined = os.environ.get("MDT_TRAIN_PIPELINE", "1") != "0" and hasattr(
+            net, "train_forward_dispatch"
+        )
+        pending = None
+
+        def _finish(handles, fbatch, fbix, tic):
+            results_dict = net.train_forward_convert(handles, fbatch)
+            train_time_step = time.time() - tic
+            logger.info(
+                "tr. batch {0}/{1} (ep. {2}) step {3:.3f}s || ".format(
+                    fbix + 1, cf.num_train_batches, epoch, train_time_step
+                )
+                + results_dict["logger_string"]
+            )
+            train_results_list.append([results_dict["boxes"], fbatch["pid"]])
+            monitor_metrics["train"]["monitor_values"][epoch].append(results_dict["monitor_values"])
+
         for bix in range(cf.num_train_batches):
             if profiling and bix == 2:  # skip compile steps, trace steady state
                 import jax
@@ -71,22 +93,21 @@ def train(cf, data_loader, logger):
                 jax.profiler.start_trace(os.path.join(cf.exp_dir, "profile"))
             batch = next(batch_gen["train"])
             tic_fw = time.time()
-            results_dict = net.train_forward(batch)
-            train_time_step = time.time() - tic_fw
+            if pipelined:
+                handles = net.train_forward_dispatch(batch)
+                if pending is not None:
+                    _finish(*pending)
+                pending = (handles, batch, bix, tic_fw)
+            else:
+                _finish(net.train_forward_dispatch(batch), batch, bix, tic_fw)
             if profiling and bix == 6:
                 import jax
 
                 jax.profiler.stop_trace()
                 logger.info(f"profiler trace written to {os.path.join(cf.exp_dir, 'profile')}")
                 profiling = False
-            logger.info(
-                "tr. batch {0}/{1} (ep. {2}) step {3:.3f}s || ".format(
-                    bix + 1, cf.num_train_batches, epoch, train_time_step
-                )
-                + results_dict["logger_string"]
-            )
-            train_results_list.append([results_dict["boxes"], batch["pid"]])
-            monitor_metrics["train"]["monitor_values"][epoch].append(results_dict["monitor_values"])
+        if pending is not None:
+            _finish(*pending)
 
         _, monitor_metrics["train"] = train_evaluator.evaluate_predictions(
             train_results_list, monitor_metrics["train"]
@@ -107,6 +128,10 @@ def train(cf, data_loader, logger):
                 monitor_metrics["val"]["monitor_values"][epoch].append(results_dict["monitor_values"])
 
             _, monitor_metrics["val"] = val_evaluator.evaluate_predictions(val_results_list, monitor_metrics["val"])
+            model_selector.run_model_selection(net, monitor_metrics, epoch)
+        else:
+            # no validation configured (e.g. PET-CT): select on train metrics
+            # so --mode test still has ranked checkpoints to ensemble
             model_selector.run_model_selection(net, monitor_metrics, epoch)
 
         training_plot.update_and_save(monitor_metrics, epoch)
@@ -139,7 +164,8 @@ def test(cf, data_loader, logger):
 
 def apply_dev_shrinkage(cf, args, folds):
     if args.dev:
-        folds = [0, 1]
+        if folds is None:
+            folds = [0, 1]
         cf.batch_size = 3 if cf.dim == 2 else 1
         cf.num_epochs, cf.min_save_thresh, cf.save_n_models = 1, 0, 1
         cf.num_train_batches, cf.num_val_batches, cf.max_val_patients = 5, 1, 1

@@ -49,6 +49,12 @@ class configs(DefaultConfigs):
 
         self.pre_crop_size_3D = [280, 280, 48]
         self.patch_size_3D = [192, 192, 32]
+        # scripted-run geometry shrink (CPU smoke / chip A-Bs), proportional
+        # pre-crop slack — mirrors MDT_LIDC_PATCH
+        if os.environ.get("MDT_PETCT_PATCH"):
+            p = [int(v) for v in os.environ["MDT_PETCT_PATCH"].split(",")]
+            self.patch_size_3D = p[:3]
+            self.pre_crop_size_3D = [p[0] + 40, p[1] + 40, p[2] + 16]
         self.patch_size = self.patch_size_3D
         self.pre_crop_size = self.pre_crop_size_3D
 
@@ -69,9 +75,9 @@ class configs(DefaultConfigs):
         #########################
         #  Schedule / Selection #
         #########################
-        self.num_epochs = 100
-        self.num_train_batches = 60
-        self.batch_size = 8
+        self.num_epochs = int(os.environ.get("MDT_PETCT_EPOCHS", 100))
+        self.num_train_batches = int(os.environ.get("MDT_PETCT_NTB", 60))
+        self.batch_size = int(os.environ.get("MDT_PETCT_BS", 8))
 
         self.do_validation = False
         self.val_mode = "val_sampling"

@@ -54,7 +54,11 @@ class Predictor:
             self.n_ens = cf.test_n_epochs
             if self.cf.test_aug:
                 self.n_ens *= 4
-            if getattr(cf, "n_data_parallel", None):
+            if getattr(cf, "n_space_parallel", None) and cf.n_space_parallel > 1:
+                # 2D mesh: batch on 'data', image Y on 'space' — for patches
+                # whose inference activations exceed one device's HBM
+                net.enable_spatial_parallel_inference()
+            elif getattr(cf, "n_data_parallel", None):
                 # shard the forward over the mesh (patch chunks are padded to
                 # cf.batch_size, so batch_size must divide by the mesh size)
                 net.enable_data_parallel_inference()
@@ -358,6 +362,27 @@ class Predictor:
             k for k in ("bb_target", "roi_labels", "roi_masks", "class_target")
             if k in batch and not isinstance(batch[k], np.ndarray) and len(batch[k]) == n
         ]
+        # two-phase pipeline (test mode): ENQUEUE every chunk's device work
+        # (JAX dispatch is async), then convert to host results — so the
+        # device computes chunk i+1..k while the host walks chunk i's boxes.
+        # This is the TPU shape of SURVEY §5's "one jit over all patches":
+        # an actual lax.scan over patches would recompile per patch-count
+        # (minutes each under remote compile), whereas fixed-shape chunks
+        # compile ONCE across all patients and pipelining removes the
+        # per-chunk host sync the loop used to pay. The in-flight window
+        # bounds device memory held by queued chunk outputs.
+        pipelined = self.mode != "val" and hasattr(self.net, "test_forward_dispatch")
+        window = int(os.environ.get("MDT_TILE_INFLIGHT", 8))
+        pending = []
+
+        def _convert(entry):
+            handles, b, pad, n_real = entry
+            d = self.net.test_forward_convert(handles, b)
+            if pad:
+                d["boxes"] = d["boxes"][:n_real]
+                d["seg_preds"] = d["seg_preds"][:n_real]
+            chunk_dicts.append(d)
+
         for start in range(0, n, bs):
             ixs = np.arange(start, min(start + bs, n))
             pad = bs - len(ixs)
@@ -368,6 +393,12 @@ class Predictor:
                 b = {k: np.concatenate([v, v[-1:].repeat(pad, axis=0)]) for k, v in b.items() if isinstance(v, np.ndarray)}
                 for k in list_keys:
                     b[k] = [batch[k][i] for i in ixs] + [batch[k][ixs[-1]]] * pad
+            if pipelined:
+                handles = self.net.test_forward_dispatch(b, return_masks=self.cf.return_masks_in_test)
+                pending.append((handles, b, pad, len(ixs)))
+                if len(pending) >= window:
+                    _convert(pending.pop(0))
+                continue
             if self.mode == "val":
                 d = self.net.train_forward(b, is_validation=True)
             else:
@@ -376,6 +407,8 @@ class Predictor:
                 d["boxes"] = d["boxes"][: len(ixs)]
                 d["seg_preds"] = d["seg_preds"][: len(ixs)]
             chunk_dicts.append(d)
+        for entry in pending:
+            _convert(entry)
 
         results_dict = {}
         results_dict["boxes"] = [item for d in chunk_dicts for item in d["boxes"]]

@@ -203,7 +203,15 @@ def load_checkpoint(checkpoint_path, net):
 
 
 class ModelSelector:
-    """Top-k epoch checkpointing by mean val selection criteria + resume ckpt."""
+    """Top-k epoch checkpointing by mean val selection criteria + resume ckpt.
+
+    With ``cf.do_validation = False`` (the reference's PET-CT setting) the
+    criteria are read from the TRAIN metrics instead — the reference writes
+    no ranking at all in that mode, which leaves ``--mode test`` with
+    nothing to ensemble (``/root/reference/exec.py:86-100`` never calls
+    selection; ``predictor.py:71-74`` then raises). Selecting on train
+    scores keeps that pipeline usable without changing validated behavior.
+    """
 
     def __init__(self, cf, logger):
         self.cf = cf
@@ -211,9 +219,10 @@ class ModelSelector:
         self.saved_epochs = [-1] * cf.save_n_models
 
     def run_model_selection(self, net, monitor_metrics, epoch):
+        source = "val" if getattr(self.cf, "do_validation", True) else "train"
         non_nan_scores = np.mean(
             np.array(
-                [[0 if ii is None else ii for ii in monitor_metrics["val"][sc]] for sc in self.cf.model_selection_criteria]
+                [[0 if ii is None else ii for ii in monitor_metrics[source][sc]] for sc in self.cf.model_selection_criteria]
             ),
             0,
         )

@@ -57,6 +57,20 @@ class TestModelSelector:
         assert kept == ["2_best_checkpoint", "4_best_checkpoint"]
         assert os.path.isdir(os.path.join(cf.fold_dir, "last_checkpoint"))
 
+    def test_no_validation_selects_on_train_metrics(self, tmp_path):
+        # PET-CT setting: do_validation=False -> criteria read from the
+        # train series so --mode test still has ranked checkpoints
+        cf = _Cf(tmp_path)
+        cf.do_validation = False
+        sel = utils.ModelSelector(cf, _Log())
+        net = _Net()
+        scores = [0.2, 0.9, 0.4]
+        for epoch in range(1, 4):
+            metrics = {"val": {}, "train": {"benign_ap": [None] + scores[:epoch]}}
+            sel.run_model_selection(net, metrics, epoch)
+        ranking = np.load(os.path.join(cf.fold_dir, "epoch_ranking.npy"))
+        assert list(ranking) == [2, 3]
+
     def test_resume_roundtrip(self, tmp_path):
         cf = _Cf(tmp_path)
         sel = utils.ModelSelector(cf, _Log())

@@ -65,6 +65,41 @@ def test_petct_batch_contract(synth_petct, tmp_path):
         assert patient["data"].shape[2:] == (32, 32, 8)
 
 
+@pytest.mark.slow
+def test_petct_train_test_end_to_end(synth_petct, tmp_path):
+    """Full driver path on synthetic PET/CT: train (do_validation=False ->
+    model selection on TRAIN metrics) then test-mode ensembling. Pins the
+    no-validation pipeline the reference leaves broken (its exec.py never
+    ranks checkpoints without a val loop, so --mode test has nothing to
+    ensemble; see ModelSelector docstring)."""
+    import subprocess
+    import sys as _sys
+
+    env = dict(os.environ)
+    env.update(
+        JAX_PLATFORMS="cpu",
+        PALLAS_AXON_POOL_IPS="",
+        MDT_PETCT_PP=synth_petct,
+        MDT_PETCT_PATCH="32,32,8",
+        MDT_MODEL="retina_net",
+    )
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/mdt_tpu_jax_cache")
+    exp_dir = os.path.join(str(tmp_path), "exp")
+    res = subprocess.run(
+        [_sys.executable, "exec.py", "--mode", "train_test",
+         "--exp_source", "experiments/pet_ct_tnm_classification",
+         "--exp_dir", exp_dir, "--folds", "0", "--dev"],
+        cwd="/root/repo", env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert res.returncode == 0, (res.stdout + res.stderr)[-4000:]
+    fold_dir = os.path.join(exp_dir, "fold_0")
+    ranking = np.load(os.path.join(fold_dir, "epoch_ranking.npy"))
+    assert list(ranking) == [1]  # selected on train metrics despite no val
+    assert os.path.isfile(os.path.join(exp_dir, "results.txt"))
+    raw = [f for f in os.listdir(fold_dir) if f.startswith("raw_pred_boxes")]
+    assert raw, os.listdir(fold_dir)
+
+
 def test_get_z_crops_synthetic():
     from experiments.pet_ct_tnm_classification.preprocessing import get_z_crops
 
