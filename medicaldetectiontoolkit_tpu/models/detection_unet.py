@@ -202,7 +202,7 @@ class DetectionUNet(base.Detector):
 
     # ---- host API ---------------------------------------------------------- #
 
-    def train_forward(self, batch, is_validation: bool = False, do_update: bool = True):
+    def train_forward_dispatch(self, batch, is_validation: bool = False, do_update: bool = True):
         img = base.image_to_device(batch["data"])
         seg = base.seg_to_device(batch["seg"])
         if is_validation or not do_update:
@@ -210,6 +210,10 @@ class DetectionUNet(base.Detector):
         else:
             lr = jnp.float32(self.current_lr)
             self.params, self.opt_state, loss, smax = self._train_step_fn(self.params, self.opt_state, lr, img, seg)
+        return loss, smax
+
+    def train_forward_convert(self, handles, batch):
+        loss, smax = handles
         smax = np.asarray(smax)
         boxes = self._boxes_from_softmax(smax)
         base.add_gt_boxes_to_results(batch, boxes)
@@ -223,11 +227,22 @@ class DetectionUNet(base.Detector):
             "logger_string": f"loss: {loss:.2f}",
         }
 
-    def test_forward(self, batch, **kwargs):
+    def train_forward(self, batch, is_validation: bool = False, do_update: bool = True):
+        return self.train_forward_convert(
+            self.train_forward_dispatch(batch, is_validation, do_update), batch
+        )
+
+    def test_forward_dispatch(self, batch, **kwargs):
         img = base.image_to_device(batch["data"])
-        smax = np.asarray(self._predict_fn(self.params, img))
+        return self._predict_fn(self.params, img)
+
+    def test_forward_convert(self, handles, batch, **kwargs):
+        smax = np.asarray(handles)
         boxes = self._boxes_from_softmax(smax)
         return {
             "boxes": boxes,
             "seg_preds": np.argmax(smax, axis=-1)[:, None].astype("uint8"),
         }
+
+    def test_forward(self, batch, **kwargs):
+        return self.test_forward_convert(self.test_forward_dispatch(batch), batch)

@@ -837,7 +837,10 @@ class MaskRCNNDetector(base.Detector):
             seg[b, 0] = np.round(full).astype(np.uint8)
         return seg
 
-    def train_forward(self, batch, is_validation: bool = False, do_update: bool = True):
+    def train_forward_dispatch(self, batch, is_validation: bool = False, do_update: bool = True):
+        """Enqueue one step and return un-forced handles (see the retina_net
+        docstring — params/opt_state swap to async handles immediately so
+        back-to-back dispatches chain on the device queue)."""
         cf = self.cf
         img, gt_boxes, gt_ids, gt_valid, gt_masks, seg = self._prep(batch)
         rng = self._next_rng()
@@ -851,6 +854,10 @@ class MaskRCNNDetector(base.Detector):
             self.params, self.opt_state, monitor, outs = self._train_step_fn(
                 self.params, self.opt_state, rng, lr, img, gt_boxes, gt_ids, gt_valid, gt_masks, seg
             )
+        return monitor, outs, with_masks
+
+    def train_forward_convert(self, handles, batch):
+        monitor, outs, with_masks = handles
         monitor = {k: float(v) for k, v in monitor.items()}
         boxes, seg_preds = self._assemble_results(batch, monitor, outs, with_masks)
         results = {
@@ -869,12 +876,23 @@ class MaskRCNNDetector(base.Detector):
         }
         return results
 
-    def test_forward(self, batch, return_masks=True, **kwargs):
-        cf = self.cf
+    def train_forward(self, batch, is_validation: bool = False, do_update: bool = True):
+        return self.train_forward_convert(
+            self.train_forward_dispatch(batch, is_validation, do_update), batch
+        )
+
+    def test_forward_dispatch(self, batch, return_masks=True, **kwargs):
         img = base.image_to_device(batch["data"])
-        with_masks = bool(return_masks)
-        det, det_mask, det_masks_raw, seg_preds = self._predict_fn(self.params, img, with_masks=with_masks)
+        return bool(return_masks), self._predict_fn(self.params, img, with_masks=bool(return_masks))
+
+    def test_forward_convert(self, handles, batch, **kwargs):
+        with_masks, (det, det_mask, det_masks_raw, seg_preds) = handles
         outs = {"det": det, "det_mask": det_mask, "det_masks_raw": det_masks_raw, "seg_preds": seg_preds}
-        boxes = base.detections_to_box_results(cf, det, det_mask)
+        boxes = base.detections_to_box_results(self.cf, det, det_mask)
         seg_out = self._make_seg_preds(outs, batch["data"].shape, with_masks)
         return {"boxes": boxes, "seg_preds": seg_out}
+
+    def test_forward(self, batch, return_masks=True, **kwargs):
+        return self.test_forward_convert(
+            self.test_forward_dispatch(batch, return_masks=return_masks), batch
+        )

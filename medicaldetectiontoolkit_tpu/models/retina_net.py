@@ -353,13 +353,12 @@ class RetinaNetDetector(base.Detector):
     def _dummy_seg_preds(self, data_shape):
         return np.zeros((data_shape[0], 1) + tuple(data_shape[2:]), dtype=np.float32)
 
-    def train_forward(self, batch, is_validation: bool = False, do_update: bool = True):
-        """Run one step (with optimizer update unless validating).
-
-        Returns the reference results dict: boxes (gt/pos_anchor/neg_anchor/
-        det), seg_preds, loss, monitor_values, logger_string.
-        """
-        cf = self.cf
+    def train_forward_dispatch(self, batch, is_validation: bool = False, do_update: bool = True):
+        """Enqueue one step's device work (update + detection refinement) and
+        return un-forced handles. ``self.params``/``opt_state`` are swapped to
+        the new (async) handles immediately, so the NEXT dispatch chains on
+        the device queue without a host round-trip — the host converts step
+        i's results (train_forward_convert) while the device runs step i+1."""
         img, gt_boxes, gt_ids, gt_valid, seg = self._prep(batch)
         rng = self._next_rng()
         if is_validation or not do_update:
@@ -372,10 +371,15 @@ class RetinaNetDetector(base.Detector):
                 self.params, self.opt_state, rng, lr, img, gt_boxes, gt_ids, gt_valid, seg
             )
         det, det_mask, seg_preds = self._detect_fn(*heads)
+        return img.shape, monitor, anchor_info, det, det_mask, seg_preds
 
-        box_results_list = [[] for _ in range(img.shape[0])]
+    def train_forward_convert(self, handles, batch):
+        cf = self.cf
+        img_shape, monitor, anchor_info, det, det_mask, seg_preds = handles
+
+        box_results_list = [[] for _ in range(img_shape[0])]
         base.add_gt_boxes_to_results(batch, box_results_list)
-        base.add_anchor_boxes_to_results(cf, self.np_anchors, anchor_info, img.shape[1:-1], box_results_list)
+        base.add_anchor_boxes_to_results(cf, self.np_anchors, anchor_info, img_shape[1:-1], box_results_list)
         base.detections_to_box_results(cf, det, det_mask, box_results_list)
 
         monitor = {k: float(v) for k, v in monitor.items()}
@@ -400,21 +404,35 @@ class RetinaNetDetector(base.Detector):
         }
         return results
 
+    def train_forward(self, batch, is_validation: bool = False, do_update: bool = True):
+        """One step (with optimizer update unless validating) -> the
+        reference results dict: boxes (gt/pos_anchor/neg_anchor/det),
+        seg_preds, loss, monitor_values, logger_string."""
+        return self.train_forward_convert(
+            self.train_forward_dispatch(batch, is_validation, do_update), batch
+        )
+
     # per-epoch lr set by the trainer (reference exec.py:59-60)
     current_lr = 1e-4
 
-    def test_forward(self, batch, **kwargs):
-        cf = self.cf
+    def test_forward_dispatch(self, batch, **kwargs):
+        """Enqueue forward + detection refinement; return un-forced device
+        handles (JAX dispatch is async — nothing blocks until convert)."""
         img = base.image_to_device(batch["data"])
-        heads = self._predict_fn(self.params, img)
-        det, det_mask, seg_preds = self._detect_fn(*heads)
-        boxes = base.detections_to_box_results(cf, det, det_mask)
+        return self._detect_fn(*self._predict_fn(self.params, img))
+
+    def test_forward_convert(self, handles, batch, **kwargs):
+        det, det_mask, seg_preds = handles
+        boxes = base.detections_to_box_results(self.cf, det, det_mask)
         return {
             "boxes": boxes,
             "seg_preds": np.asarray(seg_preds)
             if seg_preds is not None
             else self._dummy_seg_preds(batch["data"].shape),
         }
+
+    def test_forward(self, batch, **kwargs):
+        return self.test_forward_convert(self.test_forward_dispatch(batch), batch)
 
 
 @register("retina_unet")

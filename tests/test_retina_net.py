@@ -95,6 +95,43 @@ def test_retina_net_loss_decreases_on_repeated_batch():
     assert np.mean(losses[-3:]) < np.mean(losses[:3])
 
 
+def test_pipelined_dispatch_matches_serial_train_forward():
+    """The trainer's one-step-deep pipeline (dispatch i+1 before converting i)
+    must produce the same params and per-step results as the serial loop —
+    params/opt_state chain through async device handles, not host values."""
+    import jax
+
+    batches = [tiny_batch(2), tiny_batch(2), tiny_batch(2)]
+    for b in batches[1:]:
+        b["data"] = b["data"] + np.random.RandomState(0).rand(*b["data"].shape).astype(np.float32) * 0.1
+
+    def run(pipelined):
+        cf = tiny_cf("retina_net", 2)
+        net = build_model(cf, _Log())
+        net.initialize(seed=11)
+        outs = []
+        if pipelined:
+            pending = None
+            for b in batches:
+                h = net.train_forward_dispatch(b)
+                if pending is not None:
+                    outs.append(net.train_forward_convert(*pending))
+                pending = (h, b)
+            outs.append(net.train_forward_convert(*pending))
+        else:
+            outs = [net.train_forward(b) for b in batches]
+        return outs, jax.device_get(net.params)
+
+    serial_outs, serial_params = run(False)
+    pipe_outs, pipe_params = run(True)
+    for a, b in zip(serial_outs, pipe_outs):
+        assert a["loss"] == b["loss"]
+        assert a["logger_string"] == b["logger_string"]
+        assert len(a["boxes"]) == len(b["boxes"])
+    for pa, pb in zip(jax.tree_util.tree_leaves(serial_params), jax.tree_util.tree_leaves(pipe_params)):
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+
+
 def test_retina_net_test_forward():
     cf = tiny_cf("retina_net", 2)
     net = build_model(cf, _Log())
