@@ -177,8 +177,19 @@ def make_spatial_predict(detector, mesh: Mesh, axis_names=(DATA_AXIS, SPACE_AXIS
     static = tuple(
         name for name in ("with_masks",) if name in inspect.signature(detector._predict).parameters
     )
+    # jit a FRESH CLOSURE that enters the spatial-trace context inside the
+    # traced function, never detector._predict itself: jax caches jaxprs
+    # globally by (function identity, avals), so jitting the same bound
+    # method the detector's single-device ``_predict_fn`` uses would REUSE a
+    # fence-less jaxpr whenever the single-device path traced first — the
+    # space_fence constraints would silently vanish and GSPMD miscompiles at
+    # small extents (deterministic repro: tools/jaxpr_cache_repro.py).
+    def _spatial_predict(params, x, *args, **kwargs):
+        with _spatial_trace(mesh, axis_names):
+            return detector._predict(params, x, *args, **kwargs)
+
     jitted = jax.jit(
-        detector._predict,
+        _spatial_predict,
         in_shardings=(repl, img_sh),
         out_shardings=out_sh if n_outs == 1 else (out_sh,) * n_outs,
         static_argnames=static,
@@ -197,10 +208,7 @@ def make_spatial_predict(detector, mesh: Mesh, axis_names=(DATA_AXIS, SPACE_AXIS
                 f"{x.shape[1] // deepest_stride} for input Y={x.shape[1]} "
                 f"(stride {deepest_stride}); use fewer 'space' shards"
             )
-        # tracing happens inside this call (first time per shape) — the
-        # context makes the backbone's space_fence() constraints active
-        with _spatial_trace(mesh, axis_names):
-            out = jitted(params, x, *args, **kwargs)
+        out = jitted(params, x, *args, **kwargs)
         if os.environ.get("MDT_SP_VERIFY") and x.shape not in _verified:
             # one-time per shape: compare against the unsharded program
             # (opt-in — it runs the single-device forward, which may not fit
@@ -331,8 +339,18 @@ def make_spatial_train_step(detector, mesh: Mesh, axis_names=(DATA_AXIS, SPACE_A
     # gathered onto 'data' only — their spatial axes are already flattened
     out_shardings = (repl, repl, repl) + (data_sh,) * (n_outs - 3)
 
+    # fresh closure + context INSIDE the traced function — see the identical
+    # pattern in make_spatial_predict: jitting detector._train_step directly
+    # shares the global jaxpr cache with the detector's single-device
+    # ``_train_step_fn``, and whichever traces first wins; a fence-less
+    # cached trace silently drops the space_fence constraints
+    # (tools/jaxpr_cache_repro.py).
+    def _spatial_step(*args):
+        with _spatial_trace(mesh, axis_names):
+            return detector._train_step(*args)
+
     jitted = jax.jit(
-        detector._train_step,
+        _spatial_step,
         in_shardings=in_shardings,
         out_shardings=out_shardings,
         donate_argnums=(0, 1),
@@ -346,8 +364,7 @@ def make_spatial_train_step(detector, mesh: Mesh, axis_names=(DATA_AXIS, SPACE_A
                 f"{x.shape[1] // deepest_stride} for input Y={x.shape[1]} "
                 f"(stride {deepest_stride}); use fewer 'space' shards"
             )
-        with _spatial_trace(mesh, axis_names):
-            return jitted(*args)
+        return jitted(*args)
 
     return guarded
 

@@ -127,6 +127,17 @@ else:
     raise AssertionError('MDT_SP_VERIFY did not catch the known-bad geometry')
 pmesh._SAFE_SPACE_EXTENT = 32
 
+# fence ON at the same known-bad geometry, WARM order (single-device predict
+# traced first): pins the jaxpr-cache regression — make_spatial_predict must
+# not reuse the fence-less cached trace of the same bound method
+# (tools/jaxpr_cache_repro.py)
+ref64 = jax.jit(net64._predict)(net64.params, img64)
+pred64_fenced = make_spatial_predict(net64, get_mesh_2d(2, 2))
+out64 = pred64_fenced(net64.params, img64)
+for a, b in zip(jax.tree_util.tree_leaves(ref64), jax.tree_util.tree_leaves(out64)):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5,
+                               err_msg='warm-order spatial predict diverged: stale fence-less jaxpr reused')
+
 # cap: 4-way space > C5 Y-extent 2 (patch 64) must refuse
 cf_small = make_config(model='retina_net', dim=2, batch_size=2, patch_size=[64, 64])
 net_small = build_model(cf_small, L())
@@ -194,10 +205,32 @@ assert abs(loss1 - loss2) < 1e-5, (loss1, loss2)
 for a, b in zip(jax.tree_util.tree_leaves(out1[0]), jax.tree_util.tree_leaves(out2[0])):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-5)
 print('SPATIAL-TRAIN-OK')
+
+# same check at the measured GSPMD-miscompile geometry (patch 64, mesh
+# (2,2)) — gradients flow through the same partitioned backbone, so the
+# space_fence must hold for training too
+cf = make_config(model='retina_net', dim=2, batch_size=4, patch_size=[64, 64])
+net = build_model(cf, L())
+net.initialize(seed=0)
+batch = make_batch(cf)
+img = model_base.image_to_device(batch['data'])
+gt_boxes, gt_ids, gt_valid = model_base.pad_gt_boxes(batch['bb_target'], batch['roi_labels'], 4, 2, cf.max_gt_boxes)
+seg = model_base.seg_to_device(batch['seg'])
+params0 = jax.tree_util.tree_map(lambda x: x.copy(), net.params)
+opt0 = jax.tree_util.tree_map(lambda x: x.copy() if hasattr(x, 'copy') else x, net.opt_state)
+out1 = net._train_step_fn(net.params, net.opt_state, rng, lr, img, gt_boxes, gt_ids, gt_valid, seg)
+step = make_spatial_train_step(net, get_mesh_2d(2, 2))
+out2 = step(params0, opt0, rng, lr, np.asarray(img), np.asarray(gt_boxes),
+            np.asarray(gt_ids), np.asarray(gt_valid), np.asarray(seg))
+assert abs(float(out1[2]['loss']) - float(out2[2]['loss'])) < 1e-5
+for a, b in zip(jax.tree_util.tree_leaves(out1[0]), jax.tree_util.tree_leaves(out2[0])):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-5)
+print('SPATIAL-TRAIN-FENCE-OK')
 """
     res = run_cpu_subprocess(code)
     assert res.returncode == 0, res.stderr[-3000:]
     assert "SPATIAL-TRAIN-OK" in res.stdout
+    assert "SPATIAL-TRAIN-FENCE-OK" in res.stdout
 
 
 @pytest.mark.slow
@@ -247,6 +280,18 @@ def test_gspmd_scan_repro_documents_cap():
         "import runpy, sys; sys.argv=['x']; runpy.run_path('tools/gspmd_scan_repro.py', run_name='__main__')"
     )
     assert "REPRO-PATTERN-HOLDS" in res.stdout, res.stdout[-2000:] + res.stderr[-1000:]
+
+
+def test_jaxpr_cache_hazard_still_present():
+    """jax.jit wrappers of the same function share the global jaxpr cache —
+    the reason make_spatial_{predict,train_step} must jit fresh closures
+    (trace-time space_fence context reads are otherwise frozen by whichever
+    wrapper traced first). If a jax upgrade makes this assert fail, the
+    closure workaround is obsolete (but harmless). tools/jaxpr_cache_repro.py."""
+    res = run_cpu_subprocess(
+        "import runpy, sys; sys.argv=['x']; runpy.run_path('tools/jaxpr_cache_repro.py', run_name='__main__')"
+    )
+    assert res.returncode == 0, res.stdout[-1000:] + res.stderr[-1000:]
 
 
 @pytest.mark.slow

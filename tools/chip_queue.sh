@@ -1,5 +1,5 @@
 #!/bin/bash
-# Round-3 chip queue: run everything that needs the real TPU, in priority
+# Round-4 chip queue: run everything that needs the real TPU, in priority
 # order, unattended. Fire this the moment the axon tunnel is back:
 #   nohup bash tools/chip_queue.sh > /tmp/chip_queue.log 2>&1 &
 # Each stage appends to its own log under /tmp/r3_chip/; stages are
@@ -13,7 +13,7 @@
 #   5. trace the current step (item 6's evidence)
 #   6. toy mrcnn at reference schedule (item 4; longest)
 set -u
-OUT=/tmp/r3_chip
+OUT=/tmp/r4_chip
 mkdir -p "$OUT"
 cd "$(dirname "$0")/.."
 export JAX_COMPILATION_CACHE_DIR=/tmp/mdt_tpu_jax_cache
@@ -72,4 +72,17 @@ toy mrcnn 14400
 toy retina_net 10800
 toy ufrcnn 10800
 toy detection_unet 10800
+
+# --- PET/CT dual-modality smoke on hardware (dev scale; proves the
+# 2-channel 3D path + no-validation selection on the chip)
+stage petct_gen 3600 python -c "
+import os
+from experiments.pet_ct_tnm_classification.preprocessing import generate_synthetic_petct
+if not os.path.isfile('/tmp/petct_synth/info_df.pickle'):
+    generate_synthetic_petct('/tmp/petct_synth', n_patients=6, shape=(48, 320, 320))
+"
+stage petct_dev_train 7200 env MDT_PETCT_PP=/tmp/petct_synth MDT_MODEL=retina_net \
+  MDT_PETCT_EPOCHS=2 MDT_PETCT_NTB=10 MDT_PETCT_BS=2 \
+  python exec.py --mode train_test --exp_source experiments/pet_ct_tnm_classification \
+  --exp_dir /tmp/petct_chip --folds 0
 echo "=== chip queue done $(date -u) ==="
