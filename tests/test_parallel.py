@@ -234,6 +234,52 @@ print('SPATIAL-TRAIN-FENCE-OK')
 
 
 @pytest.mark.slow
+def test_spatial_train_step_matches_single_device_3d():
+    """3D geometry (the flagship LIDC shape class): one spatially-sharded
+    train step over a (2 data x 2 space) mesh must match the single-device
+    step. Warm order (single-device traced first) also pins the jaxpr-cache
+    regression for the 3D program."""
+    code = """
+import jax, numpy as np
+import jax.numpy as jnp
+from medicaldetectiontoolkit_tpu.models import build_model, base as model_base
+from medicaldetectiontoolkit_tpu.parallel import get_mesh_2d, make_spatial_train_step
+from medicaldetectiontoolkit_tpu.testing import make_config, make_batch
+
+class L:
+    def info(self, *a, **k): pass
+
+cf = make_config(model='retina_net', dim=3, batch_size=2, patch_size=[64, 64, 8])
+net = build_model(cf, L())
+net.initialize(seed=0)
+batch = make_batch(cf)
+img = model_base.image_to_device(batch['data'])
+gt_boxes, gt_ids, gt_valid = model_base.pad_gt_boxes(batch['bb_target'], batch['roi_labels'], 2, 3, cf.max_gt_boxes)
+seg = model_base.seg_to_device(batch['seg'])
+rng = jax.random.PRNGKey(3)
+lr = jnp.float32(1e-4)
+
+params0 = jax.tree_util.tree_map(lambda x: x.copy(), net.params)
+opt0 = jax.tree_util.tree_map(lambda x: x.copy() if hasattr(x, 'copy') else x, net.opt_state)
+
+out1 = net._train_step_fn(net.params, net.opt_state, rng, lr, img, gt_boxes, gt_ids, gt_valid, seg)
+loss1 = float(out1[2]['loss'])
+
+step = make_spatial_train_step(net, get_mesh_2d(2, 2))
+out2 = step(params0, opt0, rng, lr, np.asarray(img), np.asarray(gt_boxes),
+            np.asarray(gt_ids), np.asarray(gt_valid), np.asarray(seg))
+loss2 = float(out2[2]['loss'])
+assert abs(loss1 - loss2) < 1e-5, (loss1, loss2)
+for a, b in zip(jax.tree_util.tree_leaves(out1[0]), jax.tree_util.tree_leaves(out2[0])):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6, rtol=1e-5)
+print('SPATIAL-TRAIN-3D-OK')
+"""
+    res = run_cpu_subprocess(code, timeout=1800)
+    assert res.returncode == 0, res.stderr[-3000:]
+    assert "SPATIAL-TRAIN-3D-OK" in res.stdout
+
+
+@pytest.mark.slow
 def test_enable_spatial_parallel_train_forward():
     """The trainer-facing wiring: enable_spatial_parallel swaps the jitted
     step for the 2D-mesh one and the host-level train_forward keeps working
