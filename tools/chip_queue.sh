@@ -34,8 +34,9 @@ echo "chip reachable: $(tail -1 "$OUT/probe.log")"
 
 # 0.5 hardware-validate the Pallas kernels + the new zband program first
 # (fast, and a failure here explains anything downstream)
-stage tpu_kernel_tests 1200 env MDT_TEST_ON_TPU=1 python -m pytest \
-  tests/test_roi_align_pallas.py tests/test_nms_pallas.py -q -x
+stage tpu_kernel_tests 1800 env MDT_TEST_ON_TPU=1 python -m pytest \
+  tests/test_roi_align_pallas.py tests/test_nms_pallas.py \
+  tests/test_zband_conv.py -q -x
 
 stage bench_train 3000 python bench.py
 stage bench_infer 2400 env MDT_BENCH_MODE=infer python bench.py
