@@ -280,6 +280,46 @@ print('SPATIAL-TRAIN-3D-OK')
 
 
 @pytest.mark.slow
+def test_spatial_train_step_matches_single_device_mrcnn():
+    """Two-stage model under the 2D (data x space) mesh: proposal NMS,
+    pyramid RoIAlign and detection-target sampling must all partition
+    correctly — one spatial mrcnn step must match the single-device step."""
+    code = """
+import jax, numpy as np
+import jax.numpy as jnp
+from medicaldetectiontoolkit_tpu.models import build_model, base as model_base
+from medicaldetectiontoolkit_tpu.parallel import get_mesh_2d, make_spatial_train_step
+from medicaldetectiontoolkit_tpu.testing import make_config, make_batch
+
+class L:
+    def info(self, *a, **k): pass
+
+cf = make_config(model='mrcnn', dim=2, batch_size=2, patch_size=[128, 128], retina_scales=False)
+net = build_model(cf, L())
+net.initialize(seed=0)
+batch = make_batch(cf)
+rng = jax.random.PRNGKey(0)
+lr = jnp.float32(1e-4)
+img, gt_boxes, gt_ids, gt_valid, gt_masks, seg = net._prep(batch)
+params0 = jax.tree_util.tree_map(lambda x: x.copy(), net.params)
+opt0 = jax.tree_util.tree_map(lambda x: x.copy() if hasattr(x, 'copy') else x, net.opt_state)
+out1 = net._train_step_fn(net.params, net.opt_state, rng, lr, img, gt_boxes, gt_ids, gt_valid, gt_masks, seg)
+loss1 = float(out1[2]['loss'])
+step = make_spatial_train_step(net, get_mesh_2d(2, 2))
+out2 = step(params0, opt0, rng, lr, np.asarray(img), np.asarray(gt_boxes), np.asarray(gt_ids),
+            np.asarray(gt_valid), np.asarray(gt_masks), np.asarray(seg))
+loss2 = float(out2[2]['loss'])
+assert abs(loss1 - loss2) < 1e-5, (loss1, loss2)
+for a, b in zip(jax.tree_util.tree_leaves(out1[0]), jax.tree_util.tree_leaves(out2[0])):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6, rtol=1e-5)
+print('SPATIAL-TRAIN-MRCNN-OK')
+"""
+    res = run_cpu_subprocess(code, timeout=3000)
+    assert res.returncode == 0, res.stderr[-3000:]
+    assert "SPATIAL-TRAIN-MRCNN-OK" in res.stdout
+
+
+@pytest.mark.slow
 def test_enable_spatial_parallel_train_forward():
     """The trainer-facing wiring: enable_spatial_parallel swaps the jitted
     step for the 2D-mesh one and the host-level train_forward keeps working
