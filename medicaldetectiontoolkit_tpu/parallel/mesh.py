@@ -174,8 +174,12 @@ def make_spatial_predict(detector, mesh: Mesh, axis_names=(DATA_AXIS, SPACE_AXIS
     img_sh = NamedSharding(mesh, P(axis_names[0], axis_names[1]))
     out_sh = NamedSharding(mesh, P(axis_names[0]))
     n_outs = getattr(detector, "predict_n_outputs", 3)
-    static = tuple(
-        name for name in ("with_masks",) if name in inspect.signature(detector._predict).parameters
+    # pjit rejects kwargs once in_shardings is given, so flags like mrcnn's
+    # ``with_masks`` must travel positionally: bind the detector's full
+    # _predict signature (defaults applied) and mark flag positions static
+    sig = inspect.signature(detector._predict)
+    static_nums = tuple(
+        i for i, name in enumerate(sig.parameters) if name in ("with_masks",)
     )
     # jit a FRESH CLOSURE that enters the spatial-trace context inside the
     # traced function, never detector._predict itself: jax caches jaxprs
@@ -184,15 +188,15 @@ def make_spatial_predict(detector, mesh: Mesh, axis_names=(DATA_AXIS, SPACE_AXIS
     # fence-less jaxpr whenever the single-device path traced first — the
     # space_fence constraints would silently vanish and GSPMD miscompiles at
     # small extents (deterministic repro: tools/jaxpr_cache_repro.py).
-    def _spatial_predict(params, x, *args, **kwargs):
+    def _spatial_predict(*args):
         with _spatial_trace(mesh, axis_names):
-            return detector._predict(params, x, *args, **kwargs)
+            return detector._predict(*args)
 
     jitted = jax.jit(
         _spatial_predict,
         in_shardings=(repl, img_sh),
         out_shardings=out_sh if n_outs == 1 else (out_sh,) * n_outs,
-        static_argnames=static,
+        static_argnums=static_nums,
     )
 
     def guarded(params, x, *args, **kwargs):
@@ -208,12 +212,17 @@ def make_spatial_predict(detector, mesh: Mesh, axis_names=(DATA_AXIS, SPACE_AXIS
                 f"{x.shape[1] // deepest_stride} for input Y={x.shape[1]} "
                 f"(stride {deepest_stride}); use fewer 'space' shards"
             )
-        out = jitted(params, x, *args, **kwargs)
+        bound = sig.bind(params, x, *args, **kwargs)
+        bound.apply_defaults()
+        call_args = tuple(bound.arguments.values())
+        out = jitted(*call_args)
         if os.environ.get("MDT_SP_VERIFY") and x.shape not in _verified:
             # one-time per shape: compare against the unsharded program
             # (opt-in — it runs the single-device forward, which may not fit
             # HBM for the volumes spatial sharding exists for)
-            ref = jax.jit(detector._predict, static_argnames=static)(params, x, *args, **kwargs)
+            ref = jax.jit(
+                detector._predict, static_argnums=static_nums
+            )(*call_args)
             for a, b in zip(jax.tree_util.tree_leaves(ref), jax.tree_util.tree_leaves(out)):
                 np.testing.assert_allclose(
                     np.asarray(a, np.float64), np.asarray(b, np.float64), atol=1e-5,

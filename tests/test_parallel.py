@@ -280,6 +280,37 @@ print('SPATIAL-TRAIN-3D-OK')
 
 
 @pytest.mark.slow
+def test_spatial_predict_matches_single_device_mrcnn():
+    """mrcnn spatial predict with the static with_masks flag: pjit rejects
+    kwargs when in_shardings is set, so the wrapper must bind the full
+    signature and pass flags positionally (regression for a crash) — and the
+    sharded two-stage forward must match single-device."""
+    code = """
+import jax, numpy as np
+from medicaldetectiontoolkit_tpu.models import build_model, base as model_base
+from medicaldetectiontoolkit_tpu.parallel import get_mesh_2d, make_spatial_predict
+from medicaldetectiontoolkit_tpu.testing import make_config, make_batch
+
+class L:
+    def info(self, *a, **k): pass
+
+cf = make_config(model='mrcnn', dim=2, batch_size=2, patch_size=[128, 128], retina_scales=False)
+net = build_model(cf, L())
+net.initialize(seed=0)
+img = model_base.image_to_device(make_batch(cf)['data'])
+ref = jax.jit(net._predict, static_argnums=(2,))(net.params, img, True)
+pred = make_spatial_predict(net, get_mesh_2d(2, 4))
+out = pred(net.params, img, with_masks=True)
+for a, b in zip(jax.tree_util.tree_leaves(ref), jax.tree_util.tree_leaves(out)):
+    np.testing.assert_allclose(np.asarray(a, np.float64), np.asarray(b, np.float64), atol=1e-5)
+print('MRCNN-SPATIAL-PREDICT-OK')
+"""
+    res = run_cpu_subprocess(code, timeout=3000)
+    assert res.returncode == 0, res.stderr[-3000:]
+    assert "MRCNN-SPATIAL-PREDICT-OK" in res.stdout
+
+
+@pytest.mark.slow
 def test_spatial_train_step_matches_single_device_mrcnn():
     """Two-stage model under the 2D (data x space) mesh: proposal NMS,
     pyramid RoIAlign and detection-target sampling must all partition
