@@ -200,13 +200,47 @@ class Detector:
     # dispatch/convert split (models override both): dispatch enqueues the
     # device work and returns un-forced handles; convert forces them into the
     # reference results dict. The trainer/Predictor pipeline one step deep so
-    # host-side box building overlaps device compute. These defaults degrade
-    # a custom detector that only implements train_forward to serial.
+    # host-side box building overlaps device compute. The serial
+    # train/test_forward compositions live HERE (single extension point); the
+    # dispatch defaults degrade a custom detector that only implements
+    # train/test_forward back to serial.
     def train_forward_dispatch(self, batch, is_validation: bool = False, do_update: bool = True):
         return self.train_forward(batch, is_validation, do_update)
 
     def train_forward_convert(self, handles, batch):
         return handles
+
+    def train_forward(self, batch, is_validation: bool = False, do_update: bool = True):
+        """One step (with optimizer update unless validating) -> the
+        reference results dict: boxes, seg_preds, loss, monitor_values,
+        logger_string (reference model.train_forward contract)."""
+        if type(self).train_forward_dispatch is Detector.train_forward_dispatch:
+            raise NotImplementedError(
+                "detector must implement train_forward or the "
+                "train_forward_dispatch/convert pair"
+            )
+        return self.train_forward_convert(
+            self.train_forward_dispatch(batch, is_validation, do_update), batch
+        )
+
+    def test_forward_dispatch(self, batch, **kwargs):
+        return self.test_forward(batch, **kwargs)
+
+    def test_forward_convert(self, handles, batch, **kwargs):
+        return handles
+
+    def test_forward(self, batch, **kwargs):
+        """Inference forward -> {boxes, seg_preds} results dict (reference
+        model.test_forward contract). Flags (e.g. mrcnn's return_masks)
+        travel via kwargs; dispatches that don't consume them ignore them."""
+        if type(self).test_forward_dispatch is Detector.test_forward_dispatch:
+            raise NotImplementedError(
+                "detector must implement test_forward or the "
+                "test_forward_dispatch/convert pair"
+            )
+        return self.test_forward_convert(
+            self.test_forward_dispatch(batch, **kwargs), batch, **kwargs
+        )
 
     def enable_data_parallel(self, n_devices=None):
         """Re-jit the train step with data-parallel shardings over a device
@@ -219,6 +253,11 @@ class Detector:
         n = n_devices or getattr(self.cf, "n_data_parallel", None)
         self._mesh = pmesh.get_mesh(n)
         self._train_step_fn = pmesh.make_data_parallel_step(self, self._mesh)
+        # the per-epoch validation / plotting forwards run at the same batch
+        # geometry as training — shard them too, or they'd idle every device
+        # but one for the whole val loop
+        self._loss_eval_fn = pmesh.make_data_parallel_loss_eval(self, self._mesh)
+        self._predict_fn = pmesh.make_data_parallel_predict(self, self._mesh)
         if self.logger is not None:
             self.logger.info(f"data-parallel training over {len(self._mesh.devices.ravel())} devices")
         return self._mesh
@@ -236,6 +275,11 @@ class Detector:
         n_s = n_space or getattr(self.cf, "n_space_parallel", None) or 1
         self._mesh = pmesh.get_mesh_2d(n_d, n_s)
         self._train_step_fn = pmesh.make_spatial_train_step(self, self._mesh)
+        # the per-epoch validation / plotting forwards must be sharded too:
+        # they run at the same full-resolution geometry as training, which is
+        # exactly what doesn't fit one device when spatial training is on
+        self._loss_eval_fn = pmesh.make_spatial_loss_eval(self, self._mesh)
+        self._predict_fn = pmesh.make_spatial_predict(self, self._mesh)
         if self.logger is not None:
             self.logger.info(f"spatially-partitioned training over {n_d}x{n_s} (data x space) devices")
         return self._mesh

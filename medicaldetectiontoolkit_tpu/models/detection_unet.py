@@ -106,7 +106,6 @@ def get_coords(binary_mask, n_components, dim):
 @register("detection_unet")
 class DetectionUNet(base.Detector):
     # step signature: (params, opt_state, lr, img, seg) -> (params, opt_state, loss, smax)
-    train_step_n_replicated_in = 3
     train_step_n_outputs = 4
     predict_n_outputs = 1
 
@@ -227,11 +226,6 @@ class DetectionUNet(base.Detector):
             "logger_string": f"loss: {loss:.2f}",
         }
 
-    def train_forward(self, batch, is_validation: bool = False, do_update: bool = True):
-        return self.train_forward_convert(
-            self.train_forward_dispatch(batch, is_validation, do_update), batch
-        )
-
     def test_forward_dispatch(self, batch, **kwargs):
         img = base.image_to_device(batch["data"])
         return self._predict_fn(self.params, img)
@@ -243,6 +237,3 @@ class DetectionUNet(base.Detector):
             "boxes": boxes,
             "seg_preds": np.argmax(smax, axis=-1)[:, None].astype("uint8"),
         }
-
-    def test_forward(self, batch, **kwargs):
-        return self.test_forward_convert(self.test_forward_dispatch(batch), batch)

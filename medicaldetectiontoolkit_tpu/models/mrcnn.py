@@ -876,11 +876,6 @@ class MaskRCNNDetector(base.Detector):
         }
         return results
 
-    def train_forward(self, batch, is_validation: bool = False, do_update: bool = True):
-        return self.train_forward_convert(
-            self.train_forward_dispatch(batch, is_validation, do_update), batch
-        )
-
     def test_forward_dispatch(self, batch, return_masks=True, **kwargs):
         img = base.image_to_device(batch["data"])
         return bool(return_masks), self._predict_fn(self.params, img, with_masks=bool(return_masks))
@@ -891,8 +886,3 @@ class MaskRCNNDetector(base.Detector):
         boxes = base.detections_to_box_results(self.cf, det, det_mask)
         seg_out = self._make_seg_preds(outs, batch["data"].shape, with_masks)
         return {"boxes": boxes, "seg_preds": seg_out}
-
-    def test_forward(self, batch, return_masks=True, **kwargs):
-        return self.test_forward_convert(
-            self.test_forward_dispatch(batch, return_masks=return_masks), batch
-        )

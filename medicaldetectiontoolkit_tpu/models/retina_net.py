@@ -404,14 +404,6 @@ class RetinaNetDetector(base.Detector):
         }
         return results
 
-    def train_forward(self, batch, is_validation: bool = False, do_update: bool = True):
-        """One step (with optimizer update unless validating) -> the
-        reference results dict: boxes (gt/pos_anchor/neg_anchor/det),
-        seg_preds, loss, monitor_values, logger_string."""
-        return self.train_forward_convert(
-            self.train_forward_dispatch(batch, is_validation, do_update), batch
-        )
-
     # per-epoch lr set by the trainer (reference exec.py:59-60)
     current_lr = 1e-4
 
@@ -430,9 +422,6 @@ class RetinaNetDetector(base.Detector):
             if seg_preds is not None
             else self._dummy_seg_preds(batch["data"].shape),
         }
-
-    def test_forward(self, batch, **kwargs):
-        return self.test_forward_convert(self.test_forward_dispatch(batch), batch)
 
 
 @register("retina_unet")

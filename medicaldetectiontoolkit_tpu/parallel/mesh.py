@@ -18,6 +18,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 
+# parameter-name conventions shared by every detector's pure step fns:
+# these names are replicated over the mesh; everything else is a
+# batch-leading tensor sharded on 'data' (see _make_spatial_jit)
+_REPLICATED_ARG_NAMES = ("params", "opt_state", "rng", "lr")
+# compile-time flags (pjit static); must travel positionally because pjit
+# rejects kwargs whenever in_shardings is specified
+_STATIC_ARG_NAMES = ("with_masks",)
+
 
 def get_mesh(n_devices=None, axis_name: str = DATA_AXIS) -> Mesh:
     """1D device mesh over the first n_devices (default: all) devices.
@@ -84,20 +92,22 @@ def make_data_parallel_step(detector, mesh: Mesh, axis_name: str = DATA_AXIS):
     """jit the detector's pure train step with data-parallel shardings.
 
     Works for every Detector: the step signature is
-      (params, opt_state, rng, lr, *batch_tensors) ->
+      (params, opt_state, [rng,] lr, *batch_tensors) ->
       (params, opt_state, monitor, *batch_outputs)
-    — the first 4 inputs / 3 outputs are replicated, everything else is
-    sharded along the leading batch axis (prefix shardings cover nested
-    pytrees like the mrcnn outs dict). Gradient all-reduce is emitted by XLA
-    from the replicated-output constraint on params.
+    — inputs named in _REPLICATED_ARG_NAMES / the leading 3 outputs are
+    replicated, everything else is sharded along the leading batch axis
+    (prefix shardings cover nested pytrees like the mrcnn outs dict).
+    Gradient all-reduce is emitted by XLA from the replicated-output
+    constraint on params.
     """
     import inspect
 
     repl = replicated(mesh)
     data = batch_sharded(mesh, axis_name)
-    n_args = len(inspect.signature(detector._train_step).parameters)
-    n_lead = getattr(detector, "train_step_n_replicated_in", 4)
-    in_shardings = (repl,) * n_lead + (data,) * (n_args - n_lead)
+    in_shardings = tuple(
+        repl if name in _REPLICATED_ARG_NAMES else data
+        for name in inspect.signature(detector._train_step).parameters
+    )
     n_outs = getattr(detector, "train_step_n_outputs", 5)
     out_shardings = (repl, repl, repl) + (data,) * (n_outs - 3)
     return jax.jit(
@@ -121,17 +131,66 @@ def make_data_parallel_predict(detector, mesh: Mesh, axis_name: str = DATA_AXIS)
     repl = replicated(mesh)
     data = batch_sharded(mesh, axis_name)
     n_outs = getattr(detector, "predict_n_outputs", 3)
-    static = tuple(
-        name for name in ("with_masks",) if name in inspect.signature(detector._predict).parameters
-    )
-    return jax.jit(
+    # pjit rejects kwargs (even static ones) once in_shardings is given, so
+    # flags like mrcnn's ``with_masks`` travel positionally: bind the full
+    # signature (defaults applied) and mark the flag positions static
+    sig = inspect.signature(detector._predict)
+    static_nums = tuple(i for i, n in enumerate(sig.parameters) if n in _STATIC_ARG_NAMES)
+    jitted = jax.jit(
         detector._predict,
         in_shardings=(repl, data),
         # a single-output predict (detection_unet) returns a bare array, not
         # a tuple — the sharding spec must match the output pytree structure
         out_shardings=data if n_outs == 1 else (data,) * n_outs,
-        static_argnames=static,
+        static_argnums=static_nums,
     )
+
+    def call(*args, **kwargs):
+        bound = sig.bind(*args, **kwargs)
+        bound.apply_defaults()
+        return jitted(*bound.arguments.values())
+
+    return call
+
+
+def make_data_parallel_loss_eval(detector, mesh: Mesh, axis_name: str = DATA_AXIS):
+    """Validation forward (loss eval, no update) with data-parallel shardings
+    — the DP analog of ``make_data_parallel_step``. Without it, a
+    data-parallel trainer would run its per-epoch validation and plotting
+    forwards on ONE device of the mesh, idling the rest for the whole val
+    loop. Same name-based conventions as the train step; static flags (e.g.
+    mrcnn's with_masks) travel positionally via signature binding because
+    pjit rejects kwargs once in_shardings is given.
+    """
+    import inspect
+
+    repl = replicated(mesh)
+    data = batch_sharded(mesh, axis_name)
+    sig = inspect.signature(detector._loss_eval)
+    names = list(sig.parameters)
+    static_nums = tuple(i for i, n in enumerate(names) if n in _STATIC_ARG_NAMES)
+    in_shardings = tuple(
+        repl if n in _REPLICATED_ARG_NAMES else data
+        for i, n in enumerate(names)
+        if i not in static_nums
+    )
+    # every detector's _loss_eval drops (opt_state, lr) from the train-step
+    # inputs and (params, opt_state) from its outputs: arity is
+    # train_step_n_outputs - 2 with the leading monitor/loss replicated
+    n_outs = getattr(detector, "train_step_n_outputs", 5) - 2
+    jitted = jax.jit(
+        detector._loss_eval,
+        in_shardings=in_shardings,
+        out_shardings=(repl,) + (data,) * (n_outs - 1),
+        static_argnums=static_nums,
+    )
+
+    def call(*args, **kwargs):
+        bound = sig.bind(*args, **kwargs)
+        bound.apply_defaults()
+        return jitted(*bound.arguments.values())
+
+    return call
 
 
 SPACE_AXIS = "space"
@@ -169,7 +228,7 @@ def make_spatial_predict(detector, mesh: Mesh, axis_names=(DATA_AXIS, SPACE_AXIS
     import inspect
 
     n_space = mesh.shape[axis_names[1]]
-    deepest_stride = _check_space_cap(detector.cf, n_space, detector.cf.patch_size[0])
+    _check_space_cap(detector.cf, n_space, detector.cf.patch_size[0])
     repl = NamedSharding(mesh, P())
     img_sh = NamedSharding(mesh, P(axis_names[0], axis_names[1]))
     out_sh = NamedSharding(mesh, P(axis_names[0]))
@@ -179,7 +238,7 @@ def make_spatial_predict(detector, mesh: Mesh, axis_names=(DATA_AXIS, SPACE_AXIS
     # _predict signature (defaults applied) and mark flag positions static
     sig = inspect.signature(detector._predict)
     static_nums = tuple(
-        i for i, name in enumerate(sig.parameters) if name in ("with_masks",)
+        i for i, name in enumerate(sig.parameters) if name in _STATIC_ARG_NAMES
     )
     # jit a FRESH CLOSURE that enters the spatial-trace context inside the
     # traced function, never detector._predict itself: jax caches jaxprs
@@ -206,12 +265,7 @@ def make_spatial_predict(detector, mesh: Mesh, axis_names=(DATA_AXIS, SPACE_AXIS
         # deepest level under the shard count and re-expose the GSPMD
         # scanned-stage miscompilation (see module docstring / tools/
         # gspmd_scan_repro.py)
-        if x.shape[1] // deepest_stride < n_space:
-            raise ValueError(
-                f"spatial axis {n_space} exceeds deepest-level Y-extent "
-                f"{x.shape[1] // deepest_stride} for input Y={x.shape[1]} "
-                f"(stride {deepest_stride}); use fewer 'space' shards"
-            )
+        _check_space_cap(detector.cf, n_space, x.shape[1])
         bound = sig.bind(params, x, *args, **kwargs)
         bound.apply_defaults()
         call_args = tuple(bound.arguments.values())
@@ -305,6 +359,66 @@ def _check_space_cap(cf, n_space, y_extent):
     return deepest_stride
 
 
+def _make_spatial_jit(detector, fn, mesh, axis_names, n_repl_outs, n_outs, donate_argnums=()):
+    """Shared machinery for the spatial train/loss-eval factories: build
+    in/out shardings from the step fn's PARAMETER NAMES (the detectors share
+    a naming convention -- see _REPLICATED_ARG_NAMES), jit a FRESH CLOSURE
+    that enters the spatial-trace context inside the traced function (never
+    the bound method itself: jax caches jaxprs globally by function identity
+    + avals, so the single-device jit of the same method would poison this
+    one with a fence-less trace -- tools/jaxpr_cache_repro.py), pass static
+    flags positionally (pjit rejects kwargs with in_shardings), and re-check
+    the deepest-level extent cap against the image actually passed.
+    """
+    import inspect
+
+    n_space = mesh.shape[axis_names[1]]
+    _check_space_cap(detector.cf, n_space, detector.cf.patch_size[0])
+
+    repl = NamedSharding(mesh, P())
+    data_sh = NamedSharding(mesh, P(axis_names[0]))
+    img_sh = NamedSharding(mesh, P(axis_names[0], axis_names[1]))  # (b, Y, ..., c)
+    # seg is (b, 1, *spatial) int (channel-first, base.seg_to_device) and
+    # gt_masks is (b, G, *spatial): Y sits at dim 2 for both
+    y2_sh = NamedSharding(mesh, P(axis_names[0], None, axis_names[1]))
+    spec_by_name = {"img": img_sh, "seg": y2_sh, "gt_masks": y2_sh}
+
+    sig = inspect.signature(fn)
+    names = list(sig.parameters)
+    static_nums = tuple(i for i, n in enumerate(names) if n in _STATIC_ARG_NAMES)
+    in_shardings = tuple(
+        spec_by_name.get(n, repl if n in _REPLICATED_ARG_NAMES else data_sh)
+        for i, n in enumerate(names)
+        if i not in static_nums
+    )
+    img_pos = names.index("img")
+    out_shardings = (repl,) * n_repl_outs + (data_sh,) * (n_outs - n_repl_outs)
+
+    def _spatial_fn(*args):
+        with _spatial_trace(mesh, axis_names):
+            return fn(*args)
+
+    jitted = jax.jit(
+        _spatial_fn,
+        in_shardings=in_shardings,
+        out_shardings=out_shardings,
+        donate_argnums=donate_argnums,
+        static_argnums=static_nums,
+    )
+
+    def guarded(*args, **kwargs):
+        bound = sig.bind(*args, **kwargs)
+        bound.apply_defaults()
+        call_args = tuple(bound.arguments.values())
+        # re-validate against the image actually passed: the jit recompiles
+        # per shape, and a smaller-than-patch input could shrink the deepest
+        # level under the shard count (GSPMD miscompile region)
+        _check_space_cap(detector.cf, n_space, call_args[img_pos].shape[1])
+        return jitted(*call_args)
+
+    return guarded
+
+
 def make_spatial_train_step(detector, mesh: Mesh, axis_names=(DATA_AXIS, SPACE_AXIS)):
     """Training over a 2D (data x space) mesh: batch on 'data', image Y on
     'space', gradients all-reduced over BOTH axes by GSPMD.
@@ -315,7 +429,7 @@ def make_spatial_train_step(detector, mesh: Mesh, axis_names=(DATA_AXIS, SPACE_A
     tensors spatial partitioning splits. Batch tensors without a leading
     image-spatial axis (gt boxes/ids/valid) stay data-sharded; per-GT full
     image masks (B, G, *spatial) shard their Y at dim 2. The anchor-space
-    losses downstream of the heads reshard as GSPMD sees fit — per-anchor
+    losses downstream of the heads reshard as GSPMD sees fit -- per-anchor
     tensors are orders of magnitude smaller than the conv activations.
 
     Same deepest-level extent cap as make_spatial_predict (the GSPMD
@@ -323,59 +437,30 @@ def make_spatial_train_step(detector, mesh: Mesh, axis_names=(DATA_AXIS, SPACE_A
     against the configured patch size at build time and the actual image
     shape per call.
     """
-    import inspect
-
-    n_space = mesh.shape[axis_names[1]]
-    deepest_stride = _check_space_cap(detector.cf, n_space, detector.cf.patch_size[0])
-
-    repl = NamedSharding(mesh, P())
-    data_sh = NamedSharding(mesh, P(axis_names[0]))
-    img_sh = NamedSharding(mesh, P(axis_names[0], axis_names[1]))  # (b, Y, ..., c)
-    # seg is (b, 1, *spatial) int (channel-first, base.seg_to_device) and
-    # gt_masks is (b, G, *spatial): Y sits at dim 2 for both
-    y2_sh = NamedSharding(mesh, P(axis_names[0], None, axis_names[1]))
-
-    params_list = list(inspect.signature(detector._train_step).parameters)
-    n_lead = getattr(detector, "train_step_n_replicated_in", 4)
-    spec_by_name = {"img": img_sh, "seg": y2_sh, "gt_masks": y2_sh}
-    in_shardings = tuple(
-        repl if i < n_lead else spec_by_name.get(name, data_sh)
-        for i, name in enumerate(params_list)
-    )
-    img_pos = params_list.index("img") if "img" in params_list else n_lead
-    n_outs = getattr(detector, "train_step_n_outputs", 5)
-    # batch-shaped step outputs (head tensors for detection refinement) are
-    # gathered onto 'data' only — their spatial axes are already flattened
-    out_shardings = (repl, repl, repl) + (data_sh,) * (n_outs - 3)
-
-    # fresh closure + context INSIDE the traced function — see the identical
-    # pattern in make_spatial_predict: jitting detector._train_step directly
-    # shares the global jaxpr cache with the detector's single-device
-    # ``_train_step_fn``, and whichever traces first wins; a fence-less
-    # cached trace silently drops the space_fence constraints
-    # (tools/jaxpr_cache_repro.py).
-    def _spatial_step(*args):
-        with _spatial_trace(mesh, axis_names):
-            return detector._train_step(*args)
-
-    jitted = jax.jit(
-        _spatial_step,
-        in_shardings=in_shardings,
-        out_shardings=out_shardings,
+    # outputs: (params, opt_state, monitor) replicated + batch-shaped head
+    # tensors gathered onto 'data' (their spatial axes are already flattened)
+    return _make_spatial_jit(
+        detector, detector._train_step, mesh, axis_names,
+        n_repl_outs=3, n_outs=getattr(detector, "train_step_n_outputs", 5),
         donate_argnums=(0, 1),
     )
 
-    def guarded(*args):
-        x = args[img_pos]
-        if x.shape[1] // deepest_stride < n_space:
-            raise ValueError(
-                f"spatial axis {n_space} exceeds deepest-level Y-extent "
-                f"{x.shape[1] // deepest_stride} for input Y={x.shape[1]} "
-                f"(stride {deepest_stride}); use fewer 'space' shards"
-            )
-        return jitted(*args)
 
-    return guarded
+def make_spatial_loss_eval(detector, mesh: Mesh, axis_names=(DATA_AXIS, SPACE_AXIS)):
+    """Validation forward (loss eval, no update) over the 2D mesh -- the
+    spatial analog of the detector's ``_loss_eval_fn``. Without it,
+    spatially-partitioned training would still run its per-epoch validation
+    and plotting forwards single-device, defeating the HBM motivation
+    (those forwards OOM exactly when spatial training is needed).
+
+    Every detector's _loss_eval drops (opt_state, lr) from the train-step
+    signature and (params, opt_state) from its outputs, so the output arity
+    is train_step_n_outputs - 2 with the leading monitor/loss replicated.
+    """
+    return _make_spatial_jit(
+        detector, detector._loss_eval, mesh, axis_names,
+        n_repl_outs=1, n_outs=getattr(detector, "train_step_n_outputs", 5) - 2,
+    )
 
 
 def maybe_initialize_distributed(logger=None):

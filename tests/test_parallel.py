@@ -71,10 +71,29 @@ print('LOSSES', loss1, loss4)
 # real divergence (was 1e-3, which only caught catastrophic breakage)
 assert abs(loss1 - loss4) < 1e-5, (loss1, loss4)
 print('DP-MATCH-OK')
+
+# enable_data_parallel wiring: train_forward (val path -> DP loss-eval) and
+# test_forward (-> DP predict, static-flag binding) must match single-device
+net1 = build_model(cf, L())
+net1.initialize(seed=0)
+net1.current_lr = 1e-4
+rv1 = net1.train_forward(dict(batch), is_validation=True)
+t1 = net1.test_forward({'data': batch['data']})
+
+net4 = build_model(cf, L())
+net4.initialize(seed=0)
+net4.current_lr = 1e-4
+net4.enable_data_parallel(4)
+rv4 = net4.train_forward(dict(batch), is_validation=True)
+t4 = net4.test_forward({'data': batch['data']})
+assert abs(float(rv1['monitor_values']['loss']) - float(rv4['monitor_values']['loss'])) < 1e-5
+np.testing.assert_allclose(t1['seg_preds'], t4['seg_preds'])
+print('DP-WIRING-OK')
 """
     res = run_cpu_subprocess(code)
     assert res.returncode == 0, res.stderr[-2000:]
     assert "DP-MATCH-OK" in res.stdout
+    assert "DP-WIRING-OK" in res.stdout
 
 
 @pytest.mark.slow
@@ -352,9 +371,13 @@ print('SPATIAL-TRAIN-MRCNN-OK')
 
 @pytest.mark.slow
 def test_enable_spatial_parallel_train_forward():
-    """The trainer-facing wiring: enable_spatial_parallel swaps the jitted
-    step for the 2D-mesh one and the host-level train_forward keeps working
-    (same loss as the plain step at fixed rng)."""
+    """The trainer-facing wiring: enable_spatial_parallel swaps ALL THREE
+    jitted fns (train step, loss eval, predict) for 2D-mesh ones — the
+    per-epoch validation and plotting forwards run at the same
+    full-resolution geometry as training, so leaving them single-device
+    would OOM exactly when spatial training is needed. Pins host-level
+    train_forward (update + validation paths) and test_forward equality
+    vs the unsharded net at fixed rng."""
     code = """
 import numpy as np
 from medicaldetectiontoolkit_tpu.models import build_model
@@ -368,22 +391,50 @@ net = build_model(cf, L())
 net.initialize(seed=0)
 net.current_lr = 1e-4
 batch = make_batch(cf)
+rv1 = net.train_forward(dict(batch), is_validation=True)  # pre-update val fwd
 r1 = net.train_forward(dict(batch))
+t1 = net.test_forward({'data': batch['data']})
 loss1 = float(r1['monitor_values']['loss'])
 
 net2 = build_model(cf, L())
 net2.initialize(seed=0)
 net2.current_lr = 1e-4
 net2.enable_spatial_parallel(2, 4)
+rv2 = net2.train_forward(dict(batch), is_validation=True)
 r2 = net2.train_forward(dict(batch))
+t2 = net2.test_forward({'data': batch['data']})
 loss2 = float(r2['monitor_values']['loss'])
 print('LOSSES', loss1, loss2)
 assert abs(loss1 - loss2) < 1e-5, (loss1, loss2)
+# validation forward must route through the SPATIAL loss-eval and agree
+assert abs(float(rv1['monitor_values']['loss']) - float(rv2['monitor_values']['loss'])) < 1e-5
+np.testing.assert_allclose(t1['seg_preds'], t2['seg_preds'])
 print('SPATIAL-WIRING-OK')
+
+# mrcnn exercises the STATIC-flag loss-eval path (with_masks travels
+# positionally through the spatial jit) + the sharded two-stage predict
+cfm = make_config(model='mrcnn', dim=2, batch_size=4, patch_size=[64, 64], retina_scales=False)
+cfm.return_masks_in_val = True
+m1 = build_model(cfm, L())
+m1.initialize(seed=0)
+m1.current_lr = 1e-4
+mb = make_batch(cfm)
+mv1 = m1.train_forward(dict(mb), is_validation=True)
+mt1 = m1.test_forward({'data': mb['data']})
+m2 = build_model(cfm, L())
+m2.initialize(seed=0)
+m2.current_lr = 1e-4
+m2.enable_spatial_parallel(2, 2)
+mv2 = m2.train_forward(dict(mb), is_validation=True)
+mt2 = m2.test_forward({'data': mb['data']})
+assert abs(float(mv1['monitor_values']['loss']) - float(mv2['monitor_values']['loss'])) < 1e-5
+np.testing.assert_allclose(mt1['seg_preds'], mt2['seg_preds'])
+print('SPATIAL-WIRING-MRCNN-OK')
 """
-    res = run_cpu_subprocess(code)
+    res = run_cpu_subprocess(code, timeout=3000)
     assert res.returncode == 0, res.stderr[-3000:]
     assert "SPATIAL-WIRING-OK" in res.stdout
+    assert "SPATIAL-WIRING-MRCNN-OK" in res.stdout
 
 
 @pytest.mark.slow

@@ -38,8 +38,8 @@ stage tpu_kernel_tests 1800 env MDT_TEST_ON_TPU=1 python -m pytest \
   tests/test_roi_align_pallas.py tests/test_nms_pallas.py \
   tests/test_zband_conv.py -q -x
 
-stage bench_train 3000 python bench.py
-stage bench_infer 2400 env MDT_BENCH_MODE=infer python bench.py
+stage bench_train 5400 python bench.py
+stage bench_infer 3600 env MDT_BENCH_MODE=infer python bench.py
 stage conv3d_mrcnn 7200 python tools/convergence3d.py --model mrcnn --epochs 12
 stage conv3d_retina_unet 7200 python tools/convergence3d.py --model retina_unet --epochs 12
 stage trace_step 1800 python tools/trace.py
