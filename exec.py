@@ -74,9 +74,14 @@ def train(cf, data_loader, logger):
         )
         pending = None
 
-        def _finish(handles, fbatch, fbix, tic):
+        def _finish(handles, fbatch, fbix, tic, foreign=0.0):
             results_dict = net.train_forward_convert(handles, fbatch)
-            train_time_step = time.time() - tic
+            # 'foreign' is host time spent on the NEXT batch (loading +
+            # dispatch) between this batch's tic and now — subtract it so the
+            # pipelined log reports this step's own device+convert time, not
+            # step+data time (which would read as a device regression vs the
+            # serial loop / bench.py)
+            train_time_step = time.time() - tic - foreign
             logger.info(
                 "tr. batch {0}/{1} (ep. {2}) step {3:.3f}s || ".format(
                     fbix + 1, cf.num_train_batches, epoch, train_time_step
@@ -91,12 +96,13 @@ def train(cf, data_loader, logger):
                 import jax
 
                 jax.profiler.start_trace(os.path.join(cf.exp_dir, "profile"))
+            t_load0 = time.time()
             batch = next(batch_gen["train"])
             tic_fw = time.time()
             if pipelined:
                 handles = net.train_forward_dispatch(batch)
                 if pending is not None:
-                    _finish(*pending)
+                    _finish(*pending, foreign=time.time() - t_load0)
                 pending = (handles, batch, bix, tic_fw)
             else:
                 _finish(net.train_forward_dispatch(batch), batch, bix, tic_fw)
@@ -118,14 +124,25 @@ def train(cf, data_loader, logger):
         if cf.do_validation:
             val_results_list = []
             val_predictor = Predictor(cf, net, logger, mode="val")
+            pending_val = None  # val_sampling pipelines one-deep like training
+
+            def _record_val(results_dict, fbatch):
+                val_results_list.append([results_dict["boxes"], fbatch["pid"]])
+                monitor_metrics["val"]["monitor_values"][epoch].append(results_dict["monitor_values"])
+
             for _ in range(batch_gen["n_val"]):
                 batch = next(batch_gen[cf.val_mode])
                 if cf.val_mode == "val_patient":
-                    results_dict = val_predictor.predict_patient(batch)
-                elif cf.val_mode == "val_sampling":
-                    results_dict = net.train_forward(batch, is_validation=True)
-                val_results_list.append([results_dict["boxes"], batch["pid"]])
-                monitor_metrics["val"]["monitor_values"][epoch].append(results_dict["monitor_values"])
+                    _record_val(val_predictor.predict_patient(batch), batch)
+                elif pipelined:
+                    handles = net.train_forward_dispatch(batch, is_validation=True)
+                    if pending_val is not None:
+                        _record_val(net.train_forward_convert(*pending_val), pending_val[1])
+                    pending_val = (handles, batch)
+                else:
+                    _record_val(net.train_forward(batch, is_validation=True), batch)
+            if pending_val is not None:
+                _record_val(net.train_forward_convert(*pending_val), pending_val[1])
 
             _, monitor_metrics["val"] = val_evaluator.evaluate_predictions(val_results_list, monitor_metrics["val"])
             model_selector.run_model_selection(net, monitor_metrics, epoch)

@@ -46,7 +46,11 @@ class configs(DefaultConfigs):
         self.channels = [0]
         self.n_channels = len(self.channels)
         self.pre_crop_size_2D = [320, 320]
-        self.patch_size_2D = [320, 320]
+        # patch override for cheap CPU smoke runs (training crops patches out
+        # of the fixed 320x320 toy images; the reference schedule keeps 320)
+        self.patch_size_2D = [
+            int(v) for v in os.environ.get("MDT_TOY_PATCH", "320,320").split(",")
+        ]
         self.patch_size = self.patch_size_2D
         self.pre_crop_size = self.pre_crop_size_2D
         self.batch_sample_slack = 0.2
@@ -71,7 +75,7 @@ class configs(DefaultConfigs):
         self.batch_size = int(os.environ.get("MDT_TOY_BS", 20))
 
         self.do_validation = True
-        self.val_mode = "val_patient"  # 'val_patient' | 'val_sampling'
+        self.val_mode = os.environ.get("MDT_TOY_VAL_MODE", "val_patient")  # | 'val_sampling'
         if self.val_mode == "val_patient":
             _mv = os.environ.get("MDT_TOY_MAXVAL")
             self.max_val_patients = int(_mv) if _mv else None

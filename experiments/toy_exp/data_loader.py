@@ -188,6 +188,30 @@ class PatientBatchIterator:
                 "original_img_shape": batch["data"].shape,
             }
         )
+        if any(p < e for p, e in zip(self.cf.patch_size, data.shape)):
+            # patch_size below the fixed 320 toy image (MDT_TOY_PATCH): tile
+            # into the predictor's patched-patient contract like the LIDC
+            # iterator — the whole-image forward would hit the model's
+            # patch-geometry anchors. Crops carry a (0, 1) pseudo-z so the
+            # 2D stitching path can index the batch element.
+            crops = dutils.get_patch_crop_coords(data, self.cf.patch_size)
+            crops = np.concatenate(
+                [crops, np.zeros((len(crops), 1), int), np.ones((len(crops), 1), int)], axis=1
+            )
+            pbatch = {
+                "data": np.array([data[c[0] : c[1], c[2] : c[3]] for c in crops])[:, None],
+                "seg": np.array([seg[c[0] : c[1], c[2] : c[3]] for c in crops])[:, None],
+                "class_target": np.repeat(np.array([patient["class_target"]]), len(crops), axis=0),
+                "pid": pid,
+                "patch_crop_coords": crops,
+                "patient_bb_target": batch["patient_bb_target"],
+                "patient_roi_labels": batch["patient_roi_labels"],
+                "original_img_shape": batch["original_img_shape"],
+            }
+            batch = convert_seg_to_bounding_box_coordinates(
+                pbatch, dim=2, get_rois_from_seg_flag=False,
+                class_specific_seg_flag=self.cf.class_specific_seg_flag,
+            )
         self.patient_ix += 1
         if self.patient_ix == len(self.dataset_pids):
             self.patient_ix = 0
