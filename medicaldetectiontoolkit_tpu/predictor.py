@@ -362,7 +362,7 @@ class Predictor:
             k for k in ("bb_target", "roi_labels", "roi_masks", "class_target")
             if k in batch and not isinstance(batch[k], np.ndarray) and len(batch[k]) == n
         ]
-        # two-phase pipeline (test mode): ENQUEUE every chunk's device work
+        # two-phase pipeline: ENQUEUE every chunk's device work
         # (JAX dispatch is async), then convert to host results — so the
         # device computes chunk i+1..k while the host walks chunk i's boxes.
         # This is the TPU shape of SURVEY §5's "one jit over all patches":
@@ -371,13 +371,16 @@ class Predictor:
         # compile ONCE across all patients and pipelining removes the
         # per-chunk host sync the loop used to pay. The in-flight window
         # bounds device memory held by queued chunk outputs.
-        pipelined = self.mode != "val" and hasattr(self.net, "test_forward_dispatch")
+        pipelined = hasattr(self.net, "test_forward_dispatch")
         window = int(os.environ.get("MDT_TILE_INFLIGHT", 8))
         pending = []
 
         def _convert(entry):
             handles, b, pad, n_real = entry
-            d = self.net.test_forward_convert(handles, b)
+            if self.mode == "val":
+                d = self.net.train_forward_convert(handles, b)
+            else:
+                d = self.net.test_forward_convert(handles, b)
             if pad:
                 d["boxes"] = d["boxes"][:n_real]
                 d["seg_preds"] = d["seg_preds"][:n_real]
@@ -394,7 +397,10 @@ class Predictor:
                 for k in list_keys:
                     b[k] = [batch[k][i] for i in ixs] + [batch[k][ixs[-1]]] * pad
             if pipelined:
-                handles = self.net.test_forward_dispatch(b, return_masks=self.cf.return_masks_in_test)
+                if self.mode == "val":
+                    handles = self.net.train_forward_dispatch(b, is_validation=True)
+                else:
+                    handles = self.net.test_forward_dispatch(b, return_masks=self.cf.return_masks_in_test)
                 pending.append((handles, b, pad, len(ixs)))
                 if len(pending) >= window:
                     _convert(pending.pop(0))
