@@ -157,6 +157,35 @@ def _zband_policy(cin: int, z_len: int, ks: int) -> bool:
     return cin <= 4 and z_len >= 32 and ks >= 3
 
 
+class _StemPallasConv(nn.Module):
+    """Pallas banded-GEMM evaluation of a tiny-cin 3D conv (same math as
+    ``_ZBandedConv`` with hand-placed memory movement — see
+    ``ops/stem_conv_pallas.py``). Param names/shapes match ``nn.Conv``, so
+    checkpoints interchange with every other dispatch path. Opt-in via
+    ``MDT_STEM_PALLAS=1`` pending the hardware A/B (tools/chip_queue.sh)."""
+
+    features: int
+    ks: int
+    stride: tuple
+    kernel_init: object
+    dtype: object
+
+    @nn.compact
+    def __call__(self, x):
+        from medicaldetectiontoolkit_tpu.ops import stem_conv_pallas as scp
+
+        w = self.param(
+            "kernel", self.kernel_init,
+            (self.ks,) * 3 + (x.shape[-1], self.features), jnp.float32,
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        interpret = jax.default_backend() == "cpu"
+        return scp.stem_conv3d(
+            x.astype(self.dtype), w.astype(self.dtype), b.astype(self.dtype),
+            self.stride[0], self.stride[1], interpret,
+        )
+
+
 class _ZBandedConv(nn.Module):
     """3D conv computed as a 2D conv with the ENTIRE z axis folded into the
     contraction: out[..., zo, co] = sum_{zi, ci} x[..., zi, ci] * T[zi*ci, zo*co]
@@ -308,6 +337,20 @@ class ConvND(nn.Module):
         # pad == ks//2. Every current call site satisfies this; other
         # geometries fall back to nn.Conv rather than silently diverging.
         same_geom = self.pad == self.ks // 2
+        if self.dim == 3 and same_geom:
+            import os
+
+            from medicaldetectiontoolkit_tpu.ops.stem_conv_pallas import stem_pallas_viable
+
+            if os.environ.get("MDT_STEM_PALLAS") == "1" and stem_pallas_viable(
+                x.shape, self.ks, stride, self.pad
+            ):
+                x = _StemPallasConv(
+                    features=self.features, ks=self.ks, stride=stride,
+                    kernel_init=_kinit(self.weight_init), dtype=self.dtype,
+                    name="Conv_0",
+                )(x)
+                return self._finish(x)
         band = self.zband
         if band is None:
             band = (

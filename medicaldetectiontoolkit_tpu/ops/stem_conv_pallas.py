@@ -1,0 +1,222 @@
+"""Pallas fused banded-GEMM kernel for the 3D FPN stem convolution.
+
+The stem (`models/backbone.py` Stem: ks=7, stride (2,2,1), pad=3, cin 1-2)
+is the single hottest conv in 3D training (~100 ms of the round-2 565 ms
+step trace, fwd+bwd+wgrad) because XLA's generic conv lowering pads the
+tiny channel dims to 128 lanes. The XLA-level `_ZBandedConv` reformulation
+(`models/backbone.py`) removes the lane padding but leaves tiling decisions
+to XLA; this kernel is the hedge the round-3 review asked for — the same
+banded math with hand-placed memory movement:
+
+  * the full z axis is folded into the GEMM contraction via a banded weight
+    tensor T[(ky,kx), Z*cin, Zo*cout] (z SAME-padding lives in the band, so
+    the input needs NO z padding and every slice is contiguous);
+  * the y/x stride-2 is handled by phase decomposition OUTSIDE the kernel
+    (even/odd x columns as two stacked phase planes), so every in-kernel
+    access is a contiguous dynamic slice — no strided lane access, which
+    Mosaic cannot vectorize;
+  * grid = (B, Yo): each step DMAs one 7-row slab of both phase planes
+    HBM->VMEM and accumulates 49 (Xo, Z*cin) x (Z*cin, Zo*cout) MXU dots
+    in f32. T stays VMEM-resident across the whole grid (constant index
+    map), ~7 MB bf16 at LIDC stem geometry (Z=64, cout=18, cin=1).
+
+Gradients: `stem_conv3d` is a `jax.custom_vjp` whose backward is the exact
+VJP of the *XLA reference formulation* of the same math (`_banded_ref`) —
+bit-identical forward semantics, and the backward inherits the banded
+(lane-friendly) layouts without a handwritten Pallas transpose kernel.
+Extending the backward to Pallas is follow-up work once the forward has a
+hardware A/B (tools/chip_queue.sh stage `ab_stem_pallas`).
+
+Reference behavioral contract: torch ``nn.Conv3d(cin, cout, 7, (2,2,1), 3)``
+as instantiated by the reference FPN (``/root/reference/models/backbone.py``
+conv(start_filts, ks=7, stride=(2,2,1) via NDConvGenerator,
+``/root/reference/utils/model_utils.py:732-781``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+# --------------------------------------------------------------------- #
+#  shared banded-weight construction (differentiable XLA code)           #
+# --------------------------------------------------------------------- #
+
+
+def _band_T(w, Z):
+    """(k,k,k,cin,cout) logical kernel -> (k*k, Z*cin, Z*cout) banded GEMM
+    weight. T[(ky,kx), zi*cin+ci, zo*cout+co] = w[ky,kx, zi-zo+p, ci, co]
+    for zi-zo+p in [0,k), else 0 — the z SAME-padding is implicit (out-of-
+    range contributions simply don't exist in the band). z stride is 1."""
+    k = w.shape[0]
+    p = k // 2
+    cin, cout = w.shape[3], w.shape[4]
+    dz = jnp.arange(Z)[:, None] - jnp.arange(Z)[None, :] + p  # (Z, Zo=Z)
+    wg = w.reshape(k * k, k, cin, cout)[:, jnp.clip(dz, 0, k - 1)]  # (k2, Z, Zo, cin, cout)
+    wg = jnp.where(((dz >= 0) & (dz < k))[None, :, :, None, None], wg, 0.0)
+    # (k2, Z, cin, Zo, cout) -> (k2, Z*cin, Zo*cout)
+    return wg.transpose(0, 1, 3, 2, 4).reshape(k * k, Z * cin, Z * cout)
+
+
+def _pad_phases(x, k, sy, sx):
+    """SAME-pad y/x for stride (sy, sx) and split x into sx phase planes.
+
+    x: (B, Y, X, Z, cin) -> (sx, B, Yp, Xq, Z*cin) with
+    Yp = sy*(Yo-1)+k (all rows any output row touches) and Xq = the common
+    per-phase length; output tap (ky,kx) then reads phase kx%sx at row
+    sy*yo+ky, columns [kx//sx, kx//sx + Xo)."""
+    B, Y, X, Z, cin = x.shape
+    p = k // 2
+    Yo, Xo = -(-Y // sy), -(-X // sx)
+    yp_hi = sy * (Yo - 1) + k - 1 - p - (Y - 1)  # last row index needed
+    xp_hi = sx * (Xo - 1) + k - 1 - p - (X - 1)
+    xp = jnp.pad(x, ((0, 0), (p, yp_hi), (p, xp_hi), (0, 0), (0, 0)))
+    Xp = X + p + xp_hi
+    Xq = -(-Xp // sx)
+    # pad to a multiple of sx so every phase plane has the same length
+    xp = jnp.pad(xp, ((0, 0), (0, 0), (0, Xq * sx - Xp), (0, 0), (0, 0)))
+    phases = jnp.stack([xp[:, :, s::sx] for s in range(sx)], axis=0)
+    return phases.reshape(sx, B, sy * (Yo - 1) + k, Xq, Z * cin)
+
+
+# --------------------------------------------------------------------- #
+#  XLA reference formulation (oracle + gradient source)                  #
+# --------------------------------------------------------------------- #
+
+
+def _banded_ref(x, w, b, sy=2, sx=2):
+    """Pure-XLA evaluation of the identical phase/band math (oracle)."""
+    B, Y, X, Z, cin = x.shape
+    k, cout = w.shape[0], w.shape[4]
+    Yo, Xo = -(-Y // sy), -(-X // sx)
+    T = _band_T(w, Z).astype(x.dtype)
+    ph = _pad_phases(x, k, sy, sx)
+    acc = jnp.zeros((B, Yo, Xo, Z * cout), jnp.float32)
+    for ky in range(k):
+        for kx in range(k):
+            # (B, Yo, Xo, Z*cin): rows sy*yo+ky, cols kx//sx + xo
+            a = jax.lax.dynamic_slice_in_dim(ph[kx % sx], kx // sx, Xo, axis=2)
+            a = a[:, ky : ky + sy * (Yo - 1) + 1 : sy]
+            acc = acc + jnp.einsum(
+                "byxc,cn->byxn", a, T[ky * k + kx],
+                preferred_element_type=jnp.float32,
+            )
+    # cast BEFORE the bias add, matching the Pallas path (which adds the
+    # bias outside the kernel in the output dtype) bit for bit
+    out = acc.reshape(B, Yo, Xo, Z, cout).astype(x.dtype)
+    return out + b.astype(x.dtype)
+
+
+# --------------------------------------------------------------------- #
+#  Pallas kernel                                                         #
+# --------------------------------------------------------------------- #
+
+
+def _kernel_factory(k, sy, sx, Xo, Zc, Nc, out_dtype):
+    k2 = k * k
+
+    def kernel(ph_ref, T_ref, out_ref, slab, sem):
+        b = pl.program_id(0)
+        yo = pl.program_id(1)
+        # one slab: the k rows of every phase plane this output row reads
+        dma = pltpu.make_async_copy(
+            ph_ref.at[:, b, pl.ds(sy * yo, k)], slab, sem
+        )
+        dma.start()
+        dma.wait()
+        acc = jnp.zeros((Xo, Nc), jnp.float32)
+        for ky in range(k):
+            for kx in range(k):
+                off = kx // sx  # static -> plain slice
+                a = slab[kx % sx, ky, off : off + Xo, :]
+                acc = acc + jnp.dot(
+                    a, T_ref[ky * k + kx], preferred_element_type=jnp.float32
+                )
+        out_ref[0, 0] = acc.astype(out_dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("sy", "sx", "interpret"))
+def _stem_pallas_fwd(x, w, b, sy=2, sx=2, interpret=False):
+    B, Y, X, Z, cin = x.shape
+    k, cout = w.shape[0], w.shape[4]
+    Yo, Xo = -(-Y // sy), -(-X // sx)
+    Zc, Nc = Z * cin, Z * cout
+    T = _band_T(w, Z).astype(x.dtype)
+    ph = _pad_phases(x, k, sy, sx)  # (sx, B, Yp, Xq, Zc)
+
+    out = pl.pallas_call(
+        _kernel_factory(k, sy, sx, Xo, Zc, Nc, x.dtype),
+        grid=(B, Yo),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # phases stay in HBM
+            pl.BlockSpec(  # T resident in VMEM for the whole grid
+                (k * k, Zc, Nc), lambda b, y: (0, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, Xo, Nc), lambda b, y: (b, y, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Yo, Xo, Nc), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((sx, k, ph.shape[3], Zc), x.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * Yo * k * k * Xo * Zc * Nc,
+            bytes_accessed=ph.size * ph.dtype.itemsize
+            + T.size * T.dtype.itemsize
+            + B * Yo * Xo * Nc * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(ph, T)
+    out = out.reshape(B, Yo, Xo, Z, cout) + b.astype(out.dtype)
+    return out
+
+
+# --------------------------------------------------------------------- #
+#  public op: Pallas forward, XLA-banded backward                        #
+# --------------------------------------------------------------------- #
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def stem_conv3d(x, w, b, sy=2, sx=2, interpret=False):
+    """3D stem conv (SAME, stride (sy, sx, 1)) — Pallas banded-GEMM forward.
+
+    x: (B, Y, X, Z, cin) channel-last; w: (k, k, k, cin, cout); b: (cout,).
+    Returns (B, ceil(Y/sy), ceil(X/sx), Z, cout). Numerics match nn.Conv
+    with pad = k//2 (f32 accumulation in both paths).
+    """
+    return _stem_pallas_fwd(x, w, b, sy=sy, sx=sx, interpret=interpret)
+
+
+def _stem_fwd(x, w, b, sy, sx, interpret):
+    return _stem_pallas_fwd(x, w, b, sy=sy, sx=sx, interpret=interpret), (x, w, b)
+
+
+def _stem_bwd(sy, sx, interpret, res, g):
+    x, w, b = res
+    _, vjp = jax.vjp(lambda x_, w_, b_: _banded_ref(x_, w_, b_, sy=sy, sx=sx), x, w, b)
+    return vjp(g)
+
+
+stem_conv3d.defvjp(_stem_fwd, _stem_bwd)
+
+
+def stem_pallas_viable(x_shape, k, stride, pad, vmem_budget=9 * 2**20):
+    """Policy gate: stem geometry (odd k, SAME pad, z stride 1, x/y stride
+    <= 2) and a banded weight tensor that fits the VMEM residency budget."""
+    if len(x_shape) != 5 or len(stride) != 3 or stride[2] != 1:
+        return False
+    if pad != k // 2 or stride[0] > 2 or stride[1] > 2:
+        return False
+    Z, cin = x_shape[-2], x_shape[-1]
+    t_bytes = k * k * (Z * cin) * Z * 2 * 4  # f32 worst case, cout<=2*Z guard below
+    return Z * cin <= 256 and t_bytes <= vmem_budget

@@ -37,6 +37,10 @@ echo "chip reachable: $(tail -1 "$OUT/probe.log")"
 stage tpu_kernel_tests 1800 env MDT_TEST_ON_TPU=1 python -m pytest \
   tests/test_roi_align_pallas.py tests/test_nms_pallas.py \
   tests/test_zband_conv.py -q -x
+# stem Pallas kernel: first-ever Mosaic compile of ops/stem_conv_pallas.py
+# (interpret-mode-only so far; failure here just disqualifies ab_stem_pallas)
+stage tpu_stem_pallas 1800 env MDT_TEST_ON_TPU=1 python -m pytest \
+  tests/test_stem_conv_pallas.py -q -x
 
 stage bench_train 5400 python bench.py
 stage bench_infer 3600 env MDT_BENCH_MODE=infer python bench.py
@@ -59,6 +63,9 @@ stage ab_noremat 1800 env MDT_ABLATE_REMAT=0 python tools/ablate.py full
 stage ab_batch8 2400 env MDT_ABLATE_BATCH=8 python tools/ablate.py full
 stage ab_stage_loop 1800 env MDT_STAGE_MODE=loop python tools/probe.py cost
 stage ab_zblock7 1800 env MDT_ZBLOCK_G=7 python tools/ablate.py full
+# Pallas stem forward (ops/stem_conv_pallas.py) vs the XLA zband default;
+# same promotion rule as zblock (<= 0.95 * best-of(ab_base, ab_zblock7))
+stage ab_stem_pallas 1800 env MDT_STEM_PALLAS=1 python tools/ablate.py full
 
 # --- toy quality table at the REFERENCE schedule (24 ep x 100 x bs 20,
 # 1000 train / 100 val / 400 test; data pre-generated at /tmp/toy_mdt).
