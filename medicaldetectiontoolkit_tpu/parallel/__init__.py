@@ -17,4 +17,5 @@ from medicaldetectiontoolkit_tpu.parallel.mesh import (  # noqa: F401
     make_spatial_train_step,
     maybe_initialize_distributed,
     shard_batch,
+    shard_spatial,
 )

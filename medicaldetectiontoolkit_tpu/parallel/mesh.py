@@ -17,6 +17,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+SPACE_AXIS = "space"
 
 # parameter-name conventions shared by every detector's pure step fns:
 # these names are replicated over the mesh; everything else is a
@@ -73,6 +74,26 @@ def shard_batch(mesh: Mesh, *arrays, axis_name: str = DATA_AXIS):
     else:
         out = tuple(jax.device_put(a, sh) for a in arrays)
     return out if len(out) > 1 else out[0]
+
+
+def shard_spatial(mesh: Mesh, arr, y_dim=1, axis_names=(DATA_AXIS, SPACE_AXIS)):
+    """Place one host array on a 2D (data x space) mesh: leading axis on
+    'data', image Y (``y_dim``; None = replicate over 'space') on 'space'.
+
+    Single process: a device_put. Multi-host: every process passes the FULL
+    global array (spatial batches are small relative to activations, and the
+    space axis usually lives inside a host's local devices) and each host
+    materialises only its addressable shards via ``make_array_from_callback``.
+    """
+    spec = [None] * arr.ndim
+    spec[0] = axis_names[0]
+    if y_dim is not None:
+        spec[y_dim] = axis_names[1]
+    sh = NamedSharding(mesh, P(*spec))
+    if jax.process_count() > 1:
+        a = np.asarray(arr)
+        return jax.make_array_from_callback(a.shape, sh, lambda idx: a[idx])
+    return jax.device_put(arr, sh)
 
 
 def replicate_tree(mesh: Mesh, tree):
@@ -191,9 +212,6 @@ def make_data_parallel_loss_eval(detector, mesh: Mesh, axis_name: str = DATA_AXI
         return jitted(*bound.arguments.values())
 
     return call
-
-
-SPACE_AXIS = "space"
 
 
 def get_mesh_2d(n_data: int, n_space: int, axis_names=(DATA_AXIS, SPACE_AXIS)) -> Mesh:

@@ -105,6 +105,86 @@ print("LOSS", repr(float(out[2]["loss"])), flush=True)
 """
 
 
+WORKER_SPATIAL = """
+import os, sys
+rank = int(sys.argv[1])
+os.environ["MDT_DIST_COORD"] = sys.argv[2]
+os.environ["MDT_DIST_NPROCS"] = "2"
+os.environ["MDT_DIST_RANK"] = str(rank)
+
+from medicaldetectiontoolkit_tpu.parallel import (
+    get_mesh_2d, make_spatial_train_step, maybe_initialize_distributed,
+    shard_spatial,
+)
+from medicaldetectiontoolkit_tpu.parallel.mesh import replicate_tree
+assert maybe_initialize_distributed() is True
+import jax, numpy as np
+import jax.numpy as jnp
+assert jax.process_count() == 2, jax.process_count()
+assert len(jax.devices()) == 4, len(jax.devices())
+
+from medicaldetectiontoolkit_tpu.models import build_model, base as model_base
+from medicaldetectiontoolkit_tpu.testing import make_config, make_batch
+
+class L:
+    def info(self, *a, **k): pass
+
+# 2 data (across hosts) x 2 space (inside each host): the grad all-reduce
+# rides the cross-host axis, conv halo exchanges stay host-local
+cf = make_config(model="retina_net", dim=2, batch_size=2, patch_size=[64, 64])
+net = build_model(cf, L())
+net.initialize(seed=0)
+batch = make_batch(cf)
+img = np.asarray(model_base.image_to_device(batch["data"]))
+gt_boxes, gt_ids, gt_valid = model_base.pad_gt_boxes(
+    batch["bb_target"], batch["roi_labels"], 2, 2, cf.max_gt_boxes)
+seg = np.asarray(model_base.seg_to_device(batch["seg"]))
+
+mesh = get_mesh_2d(2, 2)
+
+from jax.sharding import NamedSharding, PartitionSpec as P
+warm = jax.jit(lambda a: a.sum(), out_shardings=NamedSharding(mesh, P()))(
+    shard_spatial(mesh, np.ones((2, 2), np.float32)))
+assert float(warm) == 4.0, float(warm)
+
+step = make_spatial_train_step(net, mesh)
+out = step(
+    replicate_tree(mesh, net.params),
+    replicate_tree(mesh, net.opt_state),
+    replicate_tree(mesh, jax.random.PRNGKey(7)),
+    replicate_tree(mesh, jnp.float32(1e-4)),
+    shard_spatial(mesh, img, y_dim=1),
+    shard_spatial(mesh, np.asarray(gt_boxes), y_dim=None),
+    shard_spatial(mesh, np.asarray(gt_ids), y_dim=None),
+    shard_spatial(mesh, np.asarray(gt_valid), y_dim=None),
+    shard_spatial(mesh, seg, y_dim=2),
+)
+print("LOSS", rank, repr(float(out[2]["loss"])), flush=True)
+"""
+
+SINGLE_SPATIAL = """
+import jax, numpy as np
+import jax.numpy as jnp
+from medicaldetectiontoolkit_tpu.models import build_model, base as model_base
+from medicaldetectiontoolkit_tpu.testing import make_config, make_batch
+
+class L:
+    def info(self, *a, **k): pass
+
+cf = make_config(model="retina_net", dim=2, batch_size=2, patch_size=[64, 64])
+net = build_model(cf, L())
+net.initialize(seed=0)
+batch = make_batch(cf)
+img = model_base.image_to_device(batch["data"])
+gt_boxes, gt_ids, gt_valid = model_base.pad_gt_boxes(
+    batch["bb_target"], batch["roi_labels"], 2, 2, cf.max_gt_boxes)
+seg = model_base.seg_to_device(batch["seg"])
+out = net._train_step_fn(net.params, net.opt_state, jax.random.PRNGKey(7),
+                         jnp.float32(1e-4), img, gt_boxes, gt_ids, gt_valid, seg)
+print("LOSS", repr(float(out[2]["loss"])), flush=True)
+"""
+
+
 def _env(extra_devices=4):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
@@ -124,11 +204,11 @@ def _free_port():
     return port
 
 
-def _run_workers():
+def _run_workers(worker=WORKER):
     coord = f"127.0.0.1:{_free_port()}"
     procs = [
         subprocess.Popen(
-            [sys.executable, "-c", WORKER, str(rank), coord],
+            [sys.executable, "-c", worker, str(rank), coord],
             cwd=REPO, env=_env(2), stdout=subprocess.PIPE,
             stderr=subprocess.PIPE, text=True,
         )
@@ -162,6 +242,30 @@ def test_two_process_dp_step_matches_single_process():
 
     res = subprocess.run(
         [sys.executable, "-c", SINGLE], cwd=REPO, env=_env(1),
+        capture_output=True, text=True, timeout=600,
+    )
+    assert res.returncode == 0, res.stderr[-3000:]
+    single = float(res.stdout.split("LOSS")[-1].split()[0])
+    assert abs(single - losses[0]) < 1e-5, (single, losses[0])
+
+
+@pytest.mark.slow
+def test_two_process_spatial_train_step_matches_single_process():
+    """Spatially-sharded training over a cross-host 2D (data x space) mesh:
+    2 processes x 2 virtual devices, batch on the cross-host 'data' axis,
+    image Y split host-locally on 'space'. The replicated monitor loss must
+    match the plain single-device step on the same batch."""
+    outs, errs, rcs = _run_workers(WORKER_SPATIAL)
+    if any(rc != 0 for rc in rcs) and any("Gloo" in e or "DEADLINE" in e for e in errs):
+        outs, errs, rcs = _run_workers(WORKER_SPATIAL)
+    for rc, err in zip(rcs, errs):
+        assert rc == 0, err[-3000:]
+
+    losses = [float(o.split("LOSS")[-1].split()[1]) for o in outs]
+    assert losses[0] == losses[1], losses  # replicated output: bit-identical
+
+    res = subprocess.run(
+        [sys.executable, "-c", SINGLE_SPATIAL], cwd=REPO, env=_env(1),
         capture_output=True, text=True, timeout=600,
     )
     assert res.returncode == 0, res.stderr[-3000:]
