@@ -168,6 +168,9 @@ def _stem_pallas_fwd(x, w, b, sy=2, sx=2, interpret=False):
             pltpu.VMEM((sx, k, ph.shape[3], Zc), x.dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
+        # the resident band + slab + accumulator legitimately use most of
+        # VMEM; say so instead of tripping a conservative default limit
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=14 * 2**20),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * Yo * k * k * Xo * Zc * Nc,
             bytes_accessed=ph.size * ph.dtype.itemsize
@@ -198,13 +201,66 @@ def stem_conv3d(x, w, b, sy=2, sx=2, interpret=False):
 
 
 def _stem_fwd(x, w, b, sy, sx, interpret):
-    return _stem_pallas_fwd(x, w, b, sy=sy, sx=sx, interpret=interpret), (x, w, b)
+    return _stem_pallas_fwd(x, w, b, sy=sy, sx=sx, interpret=interpret), (x, w)
+
+
+@functools.partial(jax.jit, static_argnames=("sy", "sx"))
+def _banded_grads(x, w, g, sy=2, sx=2):
+    """Explicit VJP of the banded formulation: all pads + einsums (the
+    strided/offset slices transpose to interior-dilated pads — no scatter,
+    no primal recompute). Shapes per tap: dT contraction (B*Yo*Xo, Zc) x
+    (B*Yo*Xo, Nc) and dA (B,Yo,Xo,Nc) x (Nc, Zc) — both MXU-sized."""
+    B, Y, X, Z, cin = x.shape
+    k, cout = w.shape[0], w.shape[4]
+    p = k // 2
+    Yo, Xo = -(-Y // sy), -(-X // sx)
+    Zc = Z * cin
+    T = _band_T(w, Z).astype(x.dtype)
+    ph = _pad_phases(x, k, sy, sx)  # (sx, B, Yp, Xq, Zc)
+    Yp, Xq = ph.shape[2], ph.shape[3]
+    g2 = g.reshape(B, Yo, Xo, Z * cout)
+
+    dT = []
+    dph = [jnp.zeros((B, Yp, Xq, Zc), jnp.float32) for _ in range(sx)]
+    for ky in range(k):
+        for kx in range(k):
+            a = jax.lax.dynamic_slice_in_dim(ph[kx % sx], kx // sx, Xo, axis=2)
+            a = a[:, ky : ky + sy * (Yo - 1) + 1 : sy]
+            dT.append(
+                jnp.einsum("byxc,byxn->cn", a, g2, preferred_element_type=jnp.float32)
+            )
+            da = jnp.einsum(
+                "byxn,cn->byxc", g2, T[ky * k + kx],
+                preferred_element_type=jnp.float32,
+            )
+            # transpose of the (row stride sy, col offset) slicing: interior-
+            # dilate the Yo axis by sy-1 and pad to the phase-plane extent
+            off = kx // sx
+            da = jax.lax.pad(
+                da, jnp.float32(0),
+                ((0, 0, 0),
+                 (ky, Yp - ky - (sy * (Yo - 1) + 1), sy - 1),
+                 (off, Xq - off - Xo, 0),
+                 (0, 0, 0)),
+            )
+            dph[kx % sx] = dph[kx % sx] + da
+
+    # fold the phase planes back into padded x (interleave: phase s lands at
+    # column q*sx + s — a stack + reshape, no strided scatter), then unpad
+    dxp = jnp.stack(dph, axis=3).reshape(B, Yp, Xq * sx, Zc)
+    dx = dxp[:, p : p + Y, p : p + X].reshape(B, Y, X, Z, cin).astype(x.dtype)
+
+    # pull dT back through the band construction to the logical kernel
+    _, vjp_T = jax.vjp(lambda w_: _band_T(w_, Z).astype(x.dtype), w)
+    (dw,) = vjp_T(jnp.stack(dT).astype(x.dtype))
+
+    db = g.sum(axis=(0, 1, 2, 3)).astype(x.dtype)
+    return dx, dw.astype(w.dtype), db
 
 
 def _stem_bwd(sy, sx, interpret, res, g):
-    x, w, b = res
-    _, vjp = jax.vjp(lambda x_, w_, b_: _banded_ref(x_, w_, b_, sy=sy, sx=sx), x, w, b)
-    return vjp(g)
+    x, w = res
+    return _banded_grads(x, w, g, sy=sy, sx=sx)
 
 
 stem_conv3d.defvjp(_stem_fwd, _stem_bwd)
