@@ -342,8 +342,13 @@ class ConvND(nn.Module):
 
             from medicaldetectiontoolkit_tpu.ops.stem_conv_pallas import stem_pallas_viable
 
-            if os.environ.get("MDT_STEM_PALLAS") == "1" and stem_pallas_viable(
-                x.shape, self.ks, stride, self.pad
+            from medicaldetectiontoolkit_tpu.parallel.mesh import _SPATIAL_TRACE_CTX
+
+            if (
+                os.environ.get("MDT_STEM_PALLAS") == "1"
+                and not _SPATIAL_TRACE_CTX  # GSPMD can't partition the kernel;
+                # under spatial sharding fall through to the XLA zband path
+                and stem_pallas_viable(x.shape, self.ks, stride, self.pad)
             ):
                 x = _StemPallasConv(
                     features=self.features, ks=self.ks, stride=stride,

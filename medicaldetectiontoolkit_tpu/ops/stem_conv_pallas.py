@@ -274,5 +274,9 @@ def stem_pallas_viable(x_shape, k, stride, pad, vmem_budget=9 * 2**20):
     if pad != k // 2 or stride[0] > 2 or stride[1] > 2:
         return False
     Z, cin = x_shape[-2], x_shape[-1]
+    # stems only: a real spatial kernel and the 1-2 input modalities — wider
+    # cin belongs to zfold/zblock, 1x1 convs to plain XLA matmuls
+    if k < 3 or cin > 2:
+        return False
     t_bytes = k * k * (Z * cin) * Z * 2 * 4  # f32 worst case, cout<=2*Z guard below
     return Z * cin <= 256 and t_bytes <= vmem_budget

@@ -114,6 +114,37 @@ def test_convnd_dispatch_param_compatible(monkeypatch):
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out0), atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.slow
+def test_train_step_integration(monkeypatch):
+    """Full 3D retina_unet train step (remat over the custom_vjp, anchor
+    matching, SHEM, Adam) with MDT_STEM_PALLAS=1 matches the default path."""
+    from medicaldetectiontoolkit_tpu.models import build_model
+    from medicaldetectiontoolkit_tpu.testing import make_batch, make_config
+
+    class _Log:
+        def info(self, *a, **k):
+            pass
+
+        def __getattr__(self, name):
+            return self.info
+
+    def one_step(stem_pallas):
+        if stem_pallas:
+            monkeypatch.setenv("MDT_STEM_PALLAS", "1")
+        else:
+            monkeypatch.delenv("MDT_STEM_PALLAS", raising=False)
+        cf = make_config(model="retina_unet", dim=3, batch_size=1, patch_size=[64, 64, 8])
+        cf.use_remat = True
+        net = build_model(cf, _Log())
+        net.initialize(seed=5)
+        out = net.train_forward(make_batch(cf, seed=9))
+        return out["monitor_values"]["loss"]
+
+    base_loss = one_step(False)
+    pallas_loss = one_step(True)
+    np.testing.assert_allclose(pallas_loss, base_loss, rtol=2e-4, atol=2e-4)
+
+
 def test_viability_gate():
     # LIDC stem: viable
     assert stem_pallas_viable((4, 128, 128, 64, 1), 7, (2, 2, 1), 3)
