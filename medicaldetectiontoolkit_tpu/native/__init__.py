@@ -45,6 +45,11 @@ def _signatures(lib):
         ctypes.c_void_p, f64p, ctypes.c_double, i64p, ctypes.c_int, f64p, f64p
     ]
     lib.native_num_threads.restype = ctypes.c_int
+    lib.wbc_greedy.argtypes = [
+        f64p, ctypes.c_int64, ctypes.c_int32, i64p, i64p,
+        ctypes.c_double, ctypes.c_double, f64p, f64p,
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+    ]
     return lib
 
 
@@ -65,8 +70,11 @@ def get_lib():
             # and a stale-but-loadable binary would otherwise be used silently
             import hashlib
 
-            with open(os.path.join(_HERE, "resample.cpp"), "rb") as f:
-                src_hash = hashlib.sha256(f.read()).hexdigest()
+            h = hashlib.sha256()
+            for src in ("resample.cpp", "wbc.cpp"):
+                with open(os.path.join(_HERE, src), "rb") as f:
+                    h.update(f.read())
+            src_hash = h.hexdigest()
             hash_file = _SO + ".srchash"
             built_hash = None
             if os.path.isfile(hash_file):
@@ -160,3 +168,26 @@ def gaussian_filter_constant(arr: np.ndarray, sigma: float, truncate: float = 4.
     buf = np.ascontiguousarray(arr, np.float64).copy()
     lib.gaussian_f64(buf, np.asarray(buf.shape, np.int64), buf.ndim, float(sigma), float(truncate))
     return buf.astype(arr.dtype) if arr.dtype != np.float64 else buf
+
+
+def wbc_greedy(dets: np.ndarray, patch_codes: np.ndarray, order: np.ndarray,
+               thresh: float, n_ens: float):
+    """Native weighted box clustering (predictor.weighted_box_clustering
+    semantics; the caller supplies the seed order and integer patch codes).
+    Returns (keep_scores, keep_coords) or None when the library is absent."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n, cols = dets.shape
+    nc = cols - 3
+    keep_scores = np.empty(n, np.float64)
+    keep_coords = np.empty((n, nc), np.float64)
+    n_keep = np.zeros(1, np.int64)
+    lib.wbc_greedy(
+        np.ascontiguousarray(dets, np.float64), n, nc // 2,
+        np.ascontiguousarray(patch_codes, np.int64),
+        np.ascontiguousarray(order, np.int64),
+        float(thresh), float(n_ens), keep_scores, keep_coords, n_keep,
+    )
+    k = int(n_keep[0])
+    return keep_scores[:k], keep_coords[:k]

@@ -4,4 +4,4 @@
 # by hand. Produces libmdtresample.so next to this script.
 set -e
 cd "$(dirname "$0")"
-g++ -O3 -march=native -fPIC -fopenmp -shared resample.cpp -o libmdtresample.so
+g++ -O3 -march=native -fPIC -fopenmp -shared resample.cpp wbc.cpp -o libmdtresample.so

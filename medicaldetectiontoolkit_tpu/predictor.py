@@ -546,6 +546,17 @@ def weighted_box_clustering(dets, box_patch_id, thresh, n_ens):
     center_factors = dets[:, -2]
     overlap_counts = dets[:, -1]
 
+    order = scores.argsort()[::-1]
+    if len(scores) >= 16:  # the greedy loop is the cost at scale -> native
+        from medicaldetectiontoolkit_tpu import native
+
+        codes = np.unique(np.asarray(box_patch_id), return_inverse=True)[1]
+        out = native.wbc_greedy(
+            np.asarray(dets, np.float64), codes, order, thresh, n_ens
+        )
+        if out is not None:  # None: no toolchain -> NumPy loop below
+            return list(out[0]), [list(c) for c in out[1]]
+
     extents = [coords[:, 2] - coords[:, 0] + 1, coords[:, 3] - coords[:, 1] + 1]
     if dim == 3:
         extents.append(coords[:, 5] - coords[:, 4] + 1)
@@ -553,7 +564,7 @@ def weighted_box_clustering(dets, box_patch_id, thresh, n_ens):
 
     keep_scores, keep_coords = [], []
     consumed = np.zeros(len(scores), bool)
-    for seed in scores.argsort()[::-1]:
+    for seed in order:
         if consumed[seed]:
             continue
         iou_row = _legacy_iou_row(coords, areas, seed, dim)

@@ -93,6 +93,12 @@ def bench_evaluator(n_patients=100, boxes_per=30, reps=3):
         model_selection_criteria = ["benign_ap", "malignant_ap"]
         plot_prediction_histograms = False
         plot_dir = "/tmp/host_bench_plots"
+        exp_dir = "/tmp/host_bench_plots"
+        fold = 0
+        plot_stat_curves = False
+        n_cv_splits = 99  # never aggregates cross-fold in this bench
+        test_aug = False
+        test_n_epochs = 1
 
     rng = np.random.RandomState(2)
     results = []
