@@ -47,8 +47,10 @@ def _signatures(lib):
     lib.native_num_threads.restype = ctypes.c_int
     lib.wbc_greedy.argtypes = [
         f64p, ctypes.c_int64, ctypes.c_int32, i64p, i64p,
-        ctypes.c_double, ctypes.c_double, f64p, f64p,
-        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        ctypes.c_double, ctypes.c_double, f64p, f64p, i64p,
+    ]
+    lib.nms_2to3d.argtypes = [
+        f64p, ctypes.c_int64, i64p, ctypes.c_double, i64p, f64p, i64p,
     ]
     return lib
 
@@ -191,3 +193,23 @@ def wbc_greedy(dets: np.ndarray, patch_codes: np.ndarray, order: np.ndarray,
     )
     k = int(n_keep[0])
     return keep_scores[:k], keep_coords[:k]
+
+
+def nms_2to3d(dets: np.ndarray, order: np.ndarray, thresh: float):
+    """Native 2D-slice -> 3D-cube clustering (predictor.nms_2to3D semantics;
+    caller supplies the score order). Returns (keep_indices, keep_z) or None
+    when the library is absent."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = dets.shape[0]
+    keep = np.empty(n, np.int64)
+    keep_z = np.empty((n, 2), np.float64)
+    n_keep = np.zeros(1, np.int64)
+    lib.nms_2to3d(
+        np.ascontiguousarray(dets, np.float64), n,
+        np.ascontiguousarray(order, np.int64), float(thresh),
+        keep, keep_z, n_keep,
+    )
+    k = int(n_keep[0])
+    return keep[:k], keep_z[:k]

@@ -97,4 +97,64 @@ void wbc_greedy(const double* dets, int64_t n, int32_t dim,
     *n_keep = kept;
 }
 
+// 2D-slice detections -> 3D cubes (predictor.nms_2to3D; reference contract
+// /root/reference/predictor.py:710-773). Greedy by caller-supplied score
+// order; a cube takes the overlapping detections whose slices form a
+// contiguous (gap <= 1) run with the seed's slice, and is cut at the first
+// empty slice in either direction.
+//
+// dets: (n, 6) rows [y1, x1, y2, x2, score, slice_id]
+// keep: (n,) seed indices; keep_z: (n, 2) [lo-1, hi+1] z extents
+void nms_2to3d(const double* dets, int64_t n, const int64_t* order,
+               double thresh, int64_t* keep, double* keep_z, int64_t* n_keep) {
+    const int64_t cols = 6;
+    std::vector<double> area(n);
+    for (int64_t i = 0; i < n; ++i) {
+        const double* d = dets + i * cols;
+        area[i] = (d[2] - d[0] + 1.0) * (d[3] - d[1] + 1.0);
+    }
+    std::vector<char> consumed(n, 0);
+    std::vector<char> overlapping(n);
+    std::vector<double> occ;
+    int64_t kept = 0;
+
+    for (int64_t oi = 0; oi < n; ++oi) {
+        const int64_t s = order[oi];
+        if (consumed[s]) continue;
+        const double* ds = dets + s * cols;
+
+        occ.clear();
+        for (int64_t i = 0; i < n; ++i) {
+            overlapping[i] = 0;
+            if (consumed[i]) continue;
+            const double* d = dets + i * cols;
+            const double inter =
+                std::max(0.0, std::min(ds[2], d[2]) - std::max(ds[0], d[0]) + 1.0)
+              * std::max(0.0, std::min(ds[3], d[3]) - std::max(ds[1], d[1]) + 1.0);
+            if (inter / (area[s] + area[i] - inter) > thresh) {
+                overlapping[i] = 1;
+                occ.push_back(d[5]);
+            }
+        }
+        std::sort(occ.begin(), occ.end());
+        occ.erase(std::unique(occ.begin(), occ.end()), occ.end());
+        // maximal gap<=1 run of occupied slices containing the seed's slice
+        const double core = ds[5];
+        int64_t pos = std::lower_bound(occ.begin(), occ.end(), core) - occ.begin();
+        int64_t lo_i = pos, hi_i = pos;
+        while (lo_i > 0 && occ[lo_i] - occ[lo_i - 1] <= 1.0) --lo_i;
+        while (hi_i + 1 < (int64_t)occ.size() && occ[hi_i + 1] - occ[hi_i] <= 1.0) ++hi_i;
+        const double lo = occ[lo_i], hi = occ[hi_i];
+
+        for (int64_t i = 0; i < n; ++i)
+            if (overlapping[i] && dets[i * cols + 5] >= lo && dets[i * cols + 5] <= hi)
+                consumed[i] = 1;
+        keep[kept] = s;
+        keep_z[kept * 2] = lo - 1.0;
+        keep_z[kept * 2 + 1] = hi + 1.0;
+        ++kept;
+    }
+    *n_keep = kept;
+}
+
 }  // extern "C"

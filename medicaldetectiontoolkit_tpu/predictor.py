@@ -611,9 +611,17 @@ def nms_2to3D(dets, thresh):
     slice_id = dets[:, -1]
     areas = (coords[:, 2] - coords[:, 0] + 1) * (coords[:, 3] - coords[:, 1] + 1)
 
+    order = scores.argsort()[::-1]
+    if len(scores) >= 16:  # native greedy loop (same cutover as WBC)
+        from medicaldetectiontoolkit_tpu import native
+
+        out = native.nms_2to3d(np.asarray(dets, np.float64), order, thresh)
+        if out is not None:
+            return list(out[0]), [list(z) for z in out[1]]
+
     keep, keep_z = [], []
     consumed = np.zeros(len(scores), bool)
-    for seed in scores.argsort()[::-1]:
+    for seed in order:
         if consumed[seed]:
             continue
         overlapping = ~consumed & (_legacy_iou_row(coords, areas, seed, dim=2) > thresh)

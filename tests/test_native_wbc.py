@@ -47,6 +47,22 @@ def test_native_matches_numpy(dim, n, thresh, monkeypatch):
 
 
 @pytest.mark.skipif(native.get_lib() is None, reason="no native toolchain")
+@pytest.mark.parametrize("n,thresh", [(300, 0.1), (1000, 0.35), (40, 1e-5)])
+def test_native_nms_2to3d_matches_numpy(n, thresh, monkeypatch):
+    rng = np.random.RandomState(n)
+    coords = _dets(rng, n, 2)[0][:, :4]
+    dets = np.concatenate(
+        [coords, rng.uniform(0.01, 1, (n, 1)),
+         rng.randint(0, 48, (n, 1)).astype(float)], axis=1,
+    )
+    nk, nz = pred.nms_2to3D(dets, thresh)
+    monkeypatch.setattr(native, "get_lib", lambda: None)
+    wk, wz = pred.nms_2to3D(dets, thresh)
+    assert list(nk) == list(wk)  # identical seeds, identical order
+    np.testing.assert_array_equal(np.asarray(nz), np.asarray(wz))
+
+
+@pytest.mark.skipif(native.get_lib() is None, reason="no native toolchain")
 def test_small_sets_use_numpy_and_agree(monkeypatch):
     rng = np.random.RandomState(7)
     dets, pids = _dets(rng, 8, 2)  # below the native cutover
