@@ -74,6 +74,9 @@ def get_coords(binary_mask, n_components, dim):
     -1/+1 halo clipped to [0, in-plane extent]; z coords are [min, max+1]
     clipped to the z extent. Bounding boxes come from ``ndimage.find_objects``
     (whose slice stops are already max+1) rather than coordinate scans.
+
+    Returns (per-element coords arrays, per-element lists of
+    (bbox_slices, in-bbox boolean mask) component pairs).
     """
     binary_mask = binary_mask.astype("uint8")
     in_plane_cap = binary_mask.shape[-2]
@@ -91,7 +94,10 @@ def get_coords(binary_mask, n_components, dim):
             if dim == 3:
                 box += [sl[2].start, sl[2].stop]
             coords.append(box)
-            components.append((labeled == lab).astype(np.int64))
+            # (bbox slices, in-bbox boolean mask): score aggregation only
+            # reads inside the component, and a full-volume mask per
+            # component is prohibitive at patient scale (int64 * volume)
+            components.append((sl, labeled[sl] == lab))
         if coords:
             coords = np.array(coords)
             np.clip(coords, 0, None, out=coords)
@@ -99,7 +105,7 @@ def get_coords(binary_mask, n_components, dim):
             if dim == 3:
                 coords[:, 4:] = np.minimum(coords[:, 4:], z_cap)
         batch_coords.append(coords)
-        batch_components.append(np.array(components))
+        batch_components.append(components)
     return batch_coords, batch_components
 
 
@@ -185,8 +191,8 @@ class DetectionUNet(base.Detector):
             hard_mask = (argmaxed == cl).astype("uint8")
             box_coords, rois = get_coords(hard_mask, cf.n_roi_candidates, cf.dim)
             for bix, broi in enumerate(rois):
-                for nix, nroi in enumerate(broi):
-                    vals = smax[bix, ..., cl][nroi > 0]
+                for nix, (nsl, nroi) in enumerate(broi):
+                    vals = smax[bix, ..., cl][nsl][nroi]
                     score = float(np.max(vals)) if cf.aggregation_operation == "max" else float(np.median(vals))
                     if score > cf.detection_min_confidence:
                         box_results_list[bix].append(

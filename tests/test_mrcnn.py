@@ -231,17 +231,21 @@ def test_get_coords_halo_ranking_and_clipping():
     m[0, 0:5, 0:5] = 1  # 25 voxels, at the corner
     m[0, 10:12, 10:12] = 1  # 4 voxels
     coords, comps = get_coords(m, n_components=5, dim=2)
-    assert comps[0].shape[0] == 2
+    assert len(comps[0]) == 2
+    # cropped boolean masks with their bbox slices, voxel counts preserved
+    sl0, m0 = comps[0][0]
+    assert m0.dtype == bool and m0.sum() == 25 and m0.shape == (5, 5)
+    assert (sl0[0].start, sl0[1].start) == (0, 0)
     # largest first; -1/+1 halo clipped to [0, extent]
     np.testing.assert_array_equal(coords[0][0], [0, 0, 5, 5])
     np.testing.assert_array_equal(coords[0][1], [9, 9, 12, 12])
     # n_components caps the list
     coords_capped, comps_capped = get_coords(m, n_components=1, dim=2)
-    assert len(coords_capped[0]) == 1 and comps_capped[0].shape[0] == 1
+    assert len(coords_capped[0]) == 1 and len(comps_capped[0]) == 1
 
     # empty mask -> empty outputs
     coords_e, comps_e = get_coords(np.zeros((1, 8, 8), np.uint8), 3, 2)
-    assert len(coords_e[0]) == 0 and comps_e[0].shape[0] == 0
+    assert len(coords_e[0]) == 0 and len(comps_e[0]) == 0
 
     # 3D: z coords are [min, max+1] without halo, clipped to z extent
     m3 = np.zeros((1, 16, 16, 6), np.uint8)
