@@ -184,6 +184,79 @@ def _stem_pallas_fwd(x, w, b, sy=2, sx=2, interpret=False):
     return out
 
 
+def _wgrad_kernel_factory(k, sy, sx, Xo, Xq, Zc, Nc):
+    def kernel(ph_ref, g_ref, dT_ref, slab, sem):
+        t = pl.program_id(0)
+        b = pl.program_id(1)
+        yo = pl.program_id(2)
+        ky = t // k
+        kx = t % k
+        # the single phase row this tap reads: phase kx%sx, row sy*yo+ky
+        dma = pltpu.make_async_copy(
+            ph_ref.at[pl.ds(kx % sx, 1), b, pl.ds(sy * yo + ky, 1)], slab, sem
+        )
+        dma.start()
+        dma.wait()
+        a = slab[0, 0, pl.ds(kx // sx, Xo), :]  # (Xo, Zc)
+        contrib = jax.lax.dot_general(
+            a, g_ref[0, 0], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        @pl.when((b == 0) & (yo == 0))
+        def _():
+            dT_ref[0] = contrib
+
+        @pl.when((b > 0) | (yo > 0))
+        def _():
+            dT_ref[0] = dT_ref[0] + contrib
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("k", "sy", "sx", "interpret"))
+def _stem_pallas_wgrad(x, g2, k, sy=2, sx=2, interpret=False):
+    """dT via Pallas: grid (tap, B, Yo) with the tap outermost so each
+    (Zc, Nc) dT block accumulates in VMEM across the whole batch and is
+    written back once per tap. g2: (B, Yo, Xo, Z*cout) -> dT (k*k, Zc, Nc)
+    f32. g2 is re-fetched per tap (~k^2 x its size of HBM traffic) — the
+    alternative (tap-inner) writes the f32 dT block back every step, which
+    costs more."""
+    B, Y, X, Z, cin = x.shape
+    Yo, Xo = -(-Y // sy), -(-X // sx)
+    Zc, Nc = Z * cin, g2.shape[-1]
+    ph = _pad_phases(x, k, sy, sx)
+    Xq = ph.shape[3]
+
+    return pl.pallas_call(
+        _wgrad_kernel_factory(k, sy, sx, Xo, Xq, Zc, Nc),
+        grid=(k * k, B, Yo),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # phases in HBM, row-DMA'd
+            pl.BlockSpec(
+                (1, 1, Xo, Nc), lambda t, b, y: (b, y, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, Zc, Nc), lambda t, b, y: (t, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((k * k, Zc, Nc), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((1, 1, Xq, Zc), x.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=14 * 2**20),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * k * k * B * Yo * Xo * Zc * Nc,
+            bytes_accessed=k * k * (B * Yo * (Xo * Nc + Xq * Zc)) * 2
+            + k * k * Zc * Nc * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(ph, g2)
+
+
 # --------------------------------------------------------------------- #
 #  public op: Pallas forward, XLA-banded backward                        #
 # --------------------------------------------------------------------- #
@@ -205,11 +278,13 @@ def _stem_fwd(x, w, b, sy, sx, interpret):
 
 
 @functools.partial(jax.jit, static_argnames=("sy", "sx"))
-def _banded_grads(x, w, g, sy=2, sx=2):
+def _banded_grads(x, w, g, sy=2, sx=2, dT_pre=None):
     """Explicit VJP of the banded formulation: all pads + einsums (the
     strided/offset slices transpose to interior-dilated pads — no scatter,
     no primal recompute). Shapes per tap: dT contraction (B*Yo*Xo, Zc) x
-    (B*Yo*Xo, Nc) and dA (B,Yo,Xo,Nc) x (Nc, Zc) — both MXU-sized."""
+    (B*Yo*Xo, Nc) and dA (B,Yo,Xo,Nc) x (Nc, Zc) — both MXU-sized.
+    ``dT_pre``: (k*k, Zc, Nc) weight-space grad already computed (the Pallas
+    wgrad kernel) — skips the per-tap dT einsums here."""
     B, Y, X, Z, cin = x.shape
     k, cout = w.shape[0], w.shape[4]
     p = k // 2
@@ -224,11 +299,12 @@ def _banded_grads(x, w, g, sy=2, sx=2):
     dph = [jnp.zeros((B, Yp, Xq, Zc), jnp.float32) for _ in range(sx)]
     for ky in range(k):
         for kx in range(k):
-            a = jax.lax.dynamic_slice_in_dim(ph[kx % sx], kx // sx, Xo, axis=2)
-            a = a[:, ky : ky + sy * (Yo - 1) + 1 : sy]
-            dT.append(
-                jnp.einsum("byxc,byxn->cn", a, g2, preferred_element_type=jnp.float32)
-            )
+            if dT_pre is None:
+                a = jax.lax.dynamic_slice_in_dim(ph[kx % sx], kx // sx, Xo, axis=2)
+                a = a[:, ky : ky + sy * (Yo - 1) + 1 : sy]
+                dT.append(
+                    jnp.einsum("byxc,byxn->cn", a, g2, preferred_element_type=jnp.float32)
+                )
             da = jnp.einsum(
                 "byxn,cn->byxc", g2, T[ky * k + kx],
                 preferred_element_type=jnp.float32,
@@ -252,7 +328,8 @@ def _banded_grads(x, w, g, sy=2, sx=2):
 
     # pull dT back through the band construction to the logical kernel
     _, vjp_T = jax.vjp(lambda w_: _band_T(w_, Z).astype(x.dtype), w)
-    (dw,) = vjp_T(jnp.stack(dT).astype(x.dtype))
+    dT_full = dT_pre if dT_pre is not None else jnp.stack(dT)
+    (dw,) = vjp_T(dT_full.astype(x.dtype))
 
     db = g.sum(axis=(0, 1, 2, 3)).astype(x.dtype)
     return dx, dw.astype(w.dtype), db
@@ -260,7 +337,12 @@ def _banded_grads(x, w, g, sy=2, sx=2):
 
 def _stem_bwd(sy, sx, interpret, res, g):
     x, w = res
-    return _banded_grads(x, w, g, sy=sy, sx=sx)
+    B, Y, X, Z, cin = x.shape
+    k = w.shape[0]
+    Yo, Xo = -(-Y // sy), -(-X // sx)
+    g2 = g.reshape(B, Yo, Xo, -1)
+    dT = _stem_pallas_wgrad(x, g2, k, sy=sy, sx=sx, interpret=interpret)
+    return _banded_grads(x, w, g, sy=sy, sx=sx, dT_pre=dT)
 
 
 stem_conv3d.defvjp(_stem_fwd, _stem_bwd)

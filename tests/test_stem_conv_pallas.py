@@ -74,6 +74,34 @@ def test_gradients_match_nn_conv():
         np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=3e-4, rtol=3e-4)
 
 
+def test_wgrad_kernel_matches_einsum():
+    """The tap-outer accumulating dT kernel == the per-tap einsum dT."""
+    from medicaldetectiontoolkit_tpu.ops.stem_conv_pallas import (
+        _band_T, _pad_phases, _stem_pallas_wgrad,
+    )
+
+    rng = np.random.RandomState(4)
+    k, sy, sx = 5, 2, 2
+    x = jnp.asarray(rng.randn(2, 11, 9, 6, 1), jnp.float32)
+    B, Y, X, Z, cin = x.shape
+    Yo, Xo = -(-Y // sy), -(-X // sx)
+    g2 = jnp.asarray(rng.randn(B, Yo, Xo, Z * 4), jnp.float32)
+
+    got = _stem_pallas_wgrad(x, g2, k, sy, sx, INTERPRET)
+
+    ph = _pad_phases(x, k, sy, sx)
+    want = []
+    for ky in range(k):
+        for kx in range(k):
+            a = jax.lax.dynamic_slice_in_dim(ph[kx % sx], kx // sx, Xo, axis=2)
+            a = a[:, ky : ky + sy * (Yo - 1) + 1 : sy]
+            want.append(jnp.einsum("byxc,byxn->cn", a, g2,
+                                   preferred_element_type=jnp.float32))
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(jnp.stack(want)), atol=1e-4, rtol=1e-5
+    )
+
+
 def test_bfloat16_forward_close():
     rng = np.random.RandomState(2)
     x = jnp.asarray(rng.randn(1, 8, 8, 8, 1), jnp.bfloat16)
