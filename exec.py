@@ -14,6 +14,11 @@ import argparse
 import os
 import time
 
+# persistent XLA compile cache: 3D LIDC programs take 10-20 min through the
+# remote TPU compile service cold; cached reruns are instant. Must be set
+# before any backend init.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/mdt_tpu_jax_cache")
+
 from medicaldetectiontoolkit_tpu.parallel import maybe_initialize_distributed
 
 # multi-host bring-up must precede any backend use (it rewrites the global

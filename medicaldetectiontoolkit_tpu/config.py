@@ -126,3 +126,14 @@ class DefaultConfigs:
         self.n_space_parallel = (
             int(os.environ["MDT_SP"]) if os.environ.get("MDT_SP") else None
         )
+        # gradient accumulation: microbatches per optimizer step, scanned
+        # inside ONE jitted train step (models/base.accum_value_and_grad).
+        # With remat (the 3D default) live activations shrink to one
+        # microbatch, so the reference's effective batch (8 at LIDC 3D)
+        # fits HBM that OOMs on the monolithic batch. batch_size must be
+        # divisible (indivisible batches round the accumulation DOWN to the
+        # largest divisor, so --dev-shrunken runs keep training). Batch-global
+        # loss reductions (batch dice, SHEM pools)
+        # see one microbatch at a time — same as the reference at the
+        # smaller physical batch. MDT_GRAD_ACCUM overrides.
+        self.grad_accum_steps = int(os.environ.get("MDT_GRAD_ACCUM", "1") or 1)

@@ -191,6 +191,81 @@ def make_optimizer(cf):
     return optax.chain(*parts)
 
 
+def resolve_grad_accum(cf, bsz=None) -> int:
+    """Microbatches per optimizer step (cf.grad_accum_steps, default 1).
+
+    With the actual (static) batch size given, rounds DOWN to its largest
+    divisor so shrunken batches (--dev, odd last chunks) keep training
+    instead of erroring mid-run; the configured value is an upper bound.
+    """
+    n = int(getattr(cf, "grad_accum_steps", 1) or 1)
+    if bsz is not None and n > 1:
+        n = min(n, int(bsz))
+        while bsz % n:
+            n -= 1
+    return max(n, 1)
+
+
+def accum_value_and_grad(loss_fn, params, rng, batch_arrays, n_micro: int):
+    """Gradient accumulation: scan n_micro microbatches inside ONE jitted step.
+
+    ``loss_fn(params, rng, *batch_elems) -> (loss, aux)``. The batch arrays
+    are split on axis 0 into ``n_micro`` equal microbatches and scanned
+    sequentially; with remat on (the 3D default) live activations shrink to
+    one microbatch, so the reference's effective batch size (8 at LIDC 3D,
+    ``/root/reference/experiments/lidc_exp/configs.py:115``) fits a 16 GB
+    chip that OOMs on the monolithic batch. Gradients are averaged, which
+    equals the full-batch gradient exactly for per-element mean losses.
+
+    Semantics note: batch-GLOBAL reductions inside loss_fn (batch dice,
+    SHEM pools, weighted-CE normalization) see one microbatch at a time —
+    identical to the reference's behavior at the smaller physical batch.
+    Per-element rng splitting also happens per microbatch, so results are
+    not bit-equal to the monolithic step (different key trees), only
+    statistically equivalent.
+
+    Returns ``((mean_loss, stacked_aux), grads)``; every aux leaf gains a
+    leading n_micro axis. Callers reassemble (merge_microbatch_aux, or a
+    per-microbatch lax.map for aux with flattened-batch leaves).
+    """
+    bsz = batch_arrays[0].shape[0]
+    if bsz % n_micro:
+        raise ValueError(
+            f"batch size {bsz} not divisible by grad_accum_steps {n_micro}"
+        )
+    m = bsz // n_micro
+    micro = tuple(a.reshape((n_micro, m) + a.shape[1:]) for a in batch_arrays)
+    rngs = jax.random.split(rng, n_micro)
+    vg = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def body(gsum, xs):
+        r, mb = xs[0], xs[1:]
+        (loss, aux), g = vg(params, r, *mb)
+        return jax.tree_util.tree_map(jnp.add, gsum, g), (loss, aux)
+
+    g0 = jax.tree_util.tree_map(jnp.zeros_like, params)
+    gsum, (losses, auxs) = jax.lax.scan(body, g0, (rngs,) + micro)
+    grads = jax.tree_util.tree_map(lambda g: g / n_micro, gsum)
+    return (jnp.mean(losses), auxs), grads
+
+
+def merge_microbatch_aux(auxs):
+    """Stacked (n_micro, ...) aux -> full-batch layout.
+
+    Rank-1 leaves are per-microbatch scalars (monitor values): averaged.
+    Higher-rank leaves are batch-leading arrays: first two axes merged.
+    Only valid when every array leaf is batch-leading (true for the
+    one-stage heads); mrcnn's flattened (b*P,) leaves need per-microbatch
+    handling instead.
+    """
+    def fix(leaf):
+        if leaf.ndim <= 1:
+            return jnp.mean(leaf)
+        return leaf.reshape((leaf.shape[0] * leaf.shape[1],) + leaf.shape[2:])
+
+    return jax.tree_util.tree_map(fix, auxs)
+
+
 class Detector:
     """Base class: owns (cf, logger, params, opt_state) + jitted step fns."""
 

@@ -170,7 +170,16 @@ class DetectionUNet(base.Detector):
         return loss, smax
 
     def _train_step(self, params, opt_state, lr, img, seg):
-        (loss, smax), grads = jax.value_and_grad(lambda p: self._losses(p, img, seg), has_aux=True)(params)
+        n_micro = base.resolve_grad_accum(self.cf, img.shape[0])
+        if n_micro > 1:
+            # loss is deterministic (no rng); the helper's key split is inert
+            (loss, smax_s), grads = base.accum_value_and_grad(
+                lambda p, r, im, sg: self._losses(p, im, sg),
+                params, jax.random.PRNGKey(0), (img, seg), n_micro,
+            )
+            smax = smax_s.reshape((-1,) + smax_s.shape[2:])
+        else:
+            (loss, smax), grads = jax.value_and_grad(lambda p: self._losses(p, img, seg), has_aux=True)(params)
         updates, opt_state = self._optimizer.update(grads, opt_state, params)
         updates = jax.tree_util.tree_map(lambda u: u * lr, updates)
         params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)

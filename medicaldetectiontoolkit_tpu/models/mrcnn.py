@@ -688,6 +688,11 @@ class MaskRCNNDetector(base.Detector):
     # ---- jitted step functions ----------------------------------------- #
 
     def _train_step(self, params, opt_state, rng, lr, img, gt_boxes, gt_ids, gt_valid, gt_masks, seg):
+        n_micro = base.resolve_grad_accum(self.cf, img.shape[0])
+        if n_micro > 1:
+            return self._train_step_accum(
+                params, opt_state, rng, lr, img, gt_boxes, gt_ids, gt_valid, gt_masks, seg, n_micro
+            )
         (loss, aux), grads = jax.value_and_grad(
             lambda p: self._losses(p, rng, img, gt_boxes, gt_ids, gt_valid, gt_masks, seg, with_masks=False),
             has_aux=True,
@@ -708,6 +713,45 @@ class MaskRCNNDetector(base.Detector):
             "sampled_class": aux["sampled_class"],
         }
         return params, opt_state, aux["monitor"], outs
+
+    def _train_step_accum(self, params, opt_state, rng, lr, img, gt_boxes, gt_ids,
+                          gt_valid, gt_masks, seg, n_micro: int):
+        """Grad-accumulated step: scan microbatches, one optimizer update.
+
+        mrcnn's aux carries flattened (m*P,) roi leaves and microbatch-LOCAL
+        batch_ix values, so base.merge_microbatch_aux does not apply —
+        detection refinement instead runs per microbatch (lax.map over the
+        stacked aux, on the updated params like the monolithic path) and
+        only the batch-leading outputs are merged.
+        """
+        (_, auxs), grads = base.accum_value_and_grad(
+            lambda p, r, *b: self._losses(p, r, *b, with_masks=False),
+            params, rng, (img, gt_boxes, gt_ids, gt_valid, gt_masks, seg), n_micro,
+        )
+        updates, opt_state = self._optimizer.update(grads, opt_state, params)
+        updates = jax.tree_util.tree_map(lambda u: u * lr, updates)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+
+        m = img.shape[0] // n_micro
+        fin = jax.lax.map(lambda a: self._finalize(params, a, m, with_masks=False), auxs)
+
+        def merge(leaf):
+            return leaf.reshape((leaf.shape[0] * leaf.shape[1],) + leaf.shape[2:])
+
+        det, det_mask, det_masks_raw, seg_preds = jax.tree_util.tree_map(merge, fin)
+        monitor = jax.tree_util.tree_map(jnp.mean, auxs["monitor"])
+        outs = {
+            "det": det,
+            "det_mask": det_mask,
+            "det_masks_raw": det_masks_raw,
+            "seg_preds": seg_preds,
+            "anchor_info": jax.tree_util.tree_map(merge, auxs["anchor_info"]),
+            "out_proposals": merge(auxs["out_proposals"]),
+            "sampled_rois": merge(auxs["sampled_rois"]),
+            "sampled_valid": merge(auxs["sampled_valid"]),
+            "sampled_class": merge(auxs["sampled_class"]),
+        }
+        return params, opt_state, monitor, outs
 
     def _loss_eval(self, params, rng, img, gt_boxes, gt_ids, gt_valid, gt_masks, seg, with_masks: bool = False):
         loss, aux = self._losses(params, rng, img, gt_boxes, gt_ids, gt_valid, gt_masks, seg, with_masks=with_masks)

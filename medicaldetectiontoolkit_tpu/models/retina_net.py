@@ -315,10 +315,20 @@ class RetinaNetDetector(base.Detector):
         return det, det_mask, seg_preds
 
     def _train_step(self, params, opt_state, rng, lr, img, gt_boxes, gt_ids, gt_valid, seg):
-        (loss, aux), grads = jax.value_and_grad(
-            lambda p: self._losses_and_outputs(p, rng, img, gt_boxes, gt_ids, gt_valid, seg),
-            has_aux=True,
-        )(params)
+        n_micro = base.resolve_grad_accum(self.cf, img.shape[0])
+        if n_micro > 1:
+            # every aux leaf here is batch-leading (heads, anchor_info) or a
+            # per-microbatch scalar (monitor) -> generic reassembly applies
+            (loss, auxs), grads = base.accum_value_and_grad(
+                lambda p, r, *b: self._losses_and_outputs(p, r, *b),
+                params, rng, (img, gt_boxes, gt_ids, gt_valid, seg), n_micro,
+            )
+            aux = base.merge_microbatch_aux(auxs)
+        else:
+            (loss, aux), grads = jax.value_and_grad(
+                lambda p: self._losses_and_outputs(p, rng, img, gt_boxes, gt_ids, gt_valid, seg),
+                has_aux=True,
+            )(params)
         updates, opt_state = self._optimizer.update(grads, opt_state, params)
         updates = jax.tree_util.tree_map(lambda u: u * lr, updates)
         params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)

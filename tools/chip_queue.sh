@@ -66,6 +66,12 @@ stage ab_zblock7 1800 env MDT_ZBLOCK_G=7 python tools/ablate.py full
 # Pallas stem forward (ops/stem_conv_pallas.py) vs the XLA zband default;
 # same promotion rule as zblock (<= 0.95 * best-of(ab_base, ab_zblock7))
 stage ab_stem_pallas 1800 env MDT_STEM_PALLAS=1 python tools/ablate.py full
+# gradient accumulation: reference-parity EFFECTIVE batch 8 as 2 x physical 4
+# (models/base.accum_value_and_grad). Not a throughput play — record
+# patches/s + peak-HBM headroom; if it fits where monolithic batch 8 OOMs,
+# note in BASELINE.md that 3D runs can use the reference schedule verbatim
+# (MDT_GRAD_ACCUM=2 at batch 8).
+stage ab_accum2x4 2400 env MDT_GRAD_ACCUM=2 MDT_ABLATE_BATCH=8 python tools/ablate.py full
 
 # --- toy quality table at the REFERENCE schedule (24 ep x 100 x bs 20,
 # 1000 train / 100 val / 400 test; data pre-generated at /tmp/toy_mdt).
