@@ -12,13 +12,21 @@ banded math with hand-placed memory movement:
     tensor T[(ky,kx), Z*cin, Zo*cout] (z SAME-padding lives in the band, so
     the input needs NO z padding and every slice is contiguous);
   * the y/x stride-2 is handled by phase decomposition OUTSIDE the kernel
-    (even/odd x columns as two stacked phase planes), so every in-kernel
-    access is a contiguous dynamic slice — no strided lane access, which
-    Mosaic cannot vectorize;
-  * grid = (B, Yo): each step DMAs one 7-row slab of both phase planes
-    HBM->VMEM and accumulates 49 (Xo, Z*cin) x (Z*cin, Zo*cout) MXU dots
-    in f32. T stays VMEM-resident across the whole grid (constant index
-    map), ~7 MB bf16 at LIDC stem geometry (Z=64, cout=18, cin=1).
+    (even/odd x columns as two stacked phase planes), so every tap operand
+    is a contiguous slice — no strided lane access, which Mosaic cannot
+    vectorize;
+  * all 49 tap operands are PRE-GATHERED on the XLA side into a
+    (k*k, B, Yo, Xo, Z*cin) array (strided slices + stack — ~12x input
+    duplication, ~1 ms of HBM traffic at LIDC geometry, vs the >1 GB/step
+    the lane-padded XLA conv moved) so the kernel body is nothing but MXU
+    dots and the Pallas pipeline slices only LEADING grid dims. The first
+    Mosaic compile (round 4) rejected the previous manual-DMA design:
+    `tpu.memref_slice` requires the minor dim of a sliced operand to be
+    128-lane aligned, and Z*cin is 64 at LIDC / 96 at PET-CT — BlockSpec
+    blocks that keep the full trailing dims are the supported path;
+  * grid = (B, Yo): each step accumulates 49 (Xo, Z*cin) x (Z*cin, Zo*cout)
+    MXU dots in f32. T stays VMEM-resident across the whole grid (constant
+    index map), ~7 MB bf16 at LIDC stem geometry (Z=64, cout=18, cin=1).
 
 Gradients: `stem_conv3d` is a `jax.custom_vjp` whose backward is the exact
 VJP of the *XLA reference formulation* of the same math (`_banded_ref`) —
@@ -113,33 +121,30 @@ def _banded_ref(x, w, b, sy=2, sx=2):
 
 
 # --------------------------------------------------------------------- #
-#  Pallas kernel                                                         #
+#  Pallas kernels                                                        #
 # --------------------------------------------------------------------- #
 
 
-def _kernel_factory(k, sy, sx, Xo, Zc, Nc, out_dtype):
-    k2 = k * k
-
-    def kernel(ph_ref, T_ref, out_ref, slab, sem):
-        b = pl.program_id(0)
-        yo = pl.program_id(1)
-        # one slab: the k rows of every phase plane this output row reads
-        dma = pltpu.make_async_copy(
-            ph_ref.at[:, b, pl.ds(sy * yo, k)], slab, sem
-        )
-        dma.start()
-        dma.wait()
-        acc = jnp.zeros((Xo, Nc), jnp.float32)
-        for ky in range(k):
-            for kx in range(k):
-                off = kx // sx  # static -> plain slice
-                a = slab[kx % sx, ky, off : off + Xo, :]
-                acc = acc + jnp.dot(
-                    a, T_ref[ky * k + kx], preferred_element_type=jnp.float32
-                )
-        out_ref[0, 0] = acc.astype(out_dtype)
-
-    return kernel
+def _tap_operands(x, k, sy, sx):
+    """(B, Y, X, Z, cin) -> (k*k, B, Yo, Xo, Z*cin) tap operand array:
+    taps[ky*k+kx, b, yo, xo] = SAME-padded x at row sy*yo+ky, col sx*xo+kx
+    (z folded into the minor dim). Pure strided slices + one stack — XLA
+    fuses it into copies; at LIDC stem geometry the whole array is ~0.4 GB
+    of HBM traffic (write+read), noise next to the step's total. Gathering
+    OUTSIDE the kernel keeps every Pallas block a full-trailing-dims slice
+    of leading grid dims, the only slicing Mosaic supports when the minor
+    dim (Z*cin = 64 at LIDC) is not 128-lane aligned."""
+    B, Y, X, Z, cin = x.shape
+    Yo, Xo = -(-Y // sy), -(-X // sx)
+    ph = _pad_phases(x, k, sy, sx)  # (sx, B, Yp, Xq, Zc)
+    taps = []
+    for ky in range(k):
+        rows = ph[:, :, ky : ky + sy * (Yo - 1) + 1 : sy]  # (sx, B, Yo, Xq, Zc)
+        for kx in range(k):
+            taps.append(
+                jax.lax.dynamic_slice_in_dim(rows[kx % sx], kx // sx, Xo, axis=2)
+            )
+    return jnp.stack(taps)  # (k2, B, Yo, Xo, Zc)
 
 
 @functools.partial(jax.jit, static_argnames=("sy", "sx", "interpret"))
@@ -148,58 +153,69 @@ def _stem_pallas_fwd(x, w, b, sy=2, sx=2, interpret=False):
     k, cout = w.shape[0], w.shape[4]
     Yo, Xo = -(-Y // sy), -(-X // sx)
     Zc, Nc = Z * cin, Z * cout
+    k2 = k * k
     T = _band_T(w, Z).astype(x.dtype)
-    ph = _pad_phases(x, k, sy, sx)  # (sx, B, Yp, Xq, Zc)
+    taps = _tap_operands(x, k, sy, sx)
+
+    def kernel(tap_ref, T_ref, out_ref):
+        acc = jnp.zeros((Xo, Nc), jnp.float32)
+        for t in range(k2):
+            acc = acc + jnp.dot(
+                tap_ref[t, 0, 0], T_ref[t], preferred_element_type=jnp.float32
+            )
+        out_ref[0, 0] = acc.astype(out_ref.dtype)
 
     out = pl.pallas_call(
-        _kernel_factory(k, sy, sx, Xo, Zc, Nc, x.dtype),
+        kernel,
         grid=(B, Yo),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # phases stay in HBM
+            pl.BlockSpec(  # all 49 tap operands for this (b, yo)
+                (k2, 1, 1, Xo, Zc), lambda b, y: (0, b, y, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec(  # T resident in VMEM for the whole grid
-                (k * k, Zc, Nc), lambda b, y: (0, 0, 0), memory_space=pltpu.VMEM
+                (k2, Zc, Nc), lambda b, y: (0, 0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
             (1, 1, Xo, Nc), lambda b, y: (b, y, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((B, Yo, Xo, Nc), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((sx, k, ph.shape[3], Zc), x.dtype),
-            pltpu.SemaphoreType.DMA(()),
-        ],
-        # the resident band + slab + accumulator legitimately use most of
-        # VMEM; say so instead of tripping a conservative default limit
+        # the resident band + tap blocks + accumulator legitimately use most
+        # of VMEM; say so instead of tripping a conservative default limit
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=14 * 2**20),
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * Yo * k * k * Xo * Zc * Nc,
-            bytes_accessed=ph.size * ph.dtype.itemsize
+            flops=2 * B * Yo * k2 * Xo * Zc * Nc,
+            bytes_accessed=taps.size * taps.dtype.itemsize
             + T.size * T.dtype.itemsize
             + B * Yo * Xo * Nc * x.dtype.itemsize,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(ph, T)
+    )(taps, T)
     out = out.reshape(B, Yo, Xo, Z, cout) + b.astype(out.dtype)
     return out
 
 
-def _wgrad_kernel_factory(k, sy, sx, Xo, Xq, Zc, Nc):
-    def kernel(ph_ref, g_ref, dT_ref, slab, sem):
-        t = pl.program_id(0)
+@functools.partial(jax.jit, static_argnames=("k", "sy", "sx", "interpret"))
+def _stem_pallas_wgrad(x, g2, k, sy=2, sx=2, interpret=False):
+    """dT via Pallas: grid (tap, B, Yo) with the tap outermost so each
+    (Zc, Nc) dT block accumulates in VMEM across the whole batch and is
+    written back once per tap (the out index map is constant in (b, yo), so
+    the pipeline revisits the block without flushing). g2: (B, Yo, Xo,
+    Z*cout) -> dT (k*k, Zc, Nc) f32. g2 is re-fetched per tap (~k^2 x its
+    size of HBM traffic) — the alternative (tap-inner) writes the f32 dT
+    block back every step, which costs more."""
+    B, Y, X, Z, cin = x.shape
+    Yo, Xo = -(-Y // sy), -(-X // sx)
+    Zc, Nc = Z * cin, g2.shape[-1]
+    taps = _tap_operands(x, k, sy, sx)
+
+    def kernel(tap_ref, g_ref, dT_ref):
         b = pl.program_id(1)
         yo = pl.program_id(2)
-        ky = t // k
-        kx = t % k
-        # the single phase row this tap reads: phase kx%sx, row sy*yo+ky
-        dma = pltpu.make_async_copy(
-            ph_ref.at[pl.ds(kx % sx, 1), b, pl.ds(sy * yo + ky, 1)], slab, sem
-        )
-        dma.start()
-        dma.wait()
-        a = slab[0, 0, pl.ds(kx // sx, Xo), :]  # (Xo, Zc)
         contrib = jax.lax.dot_general(
-            a, g_ref[0, 0], (((0,), (0,)), ((), ())),
+            tap_ref[0, 0, 0], g_ref[0, 0], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
@@ -211,28 +227,14 @@ def _wgrad_kernel_factory(k, sy, sx, Xo, Xq, Zc, Nc):
         def _():
             dT_ref[0] = dT_ref[0] + contrib
 
-    return kernel
-
-
-@functools.partial(jax.jit, static_argnames=("k", "sy", "sx", "interpret"))
-def _stem_pallas_wgrad(x, g2, k, sy=2, sx=2, interpret=False):
-    """dT via Pallas: grid (tap, B, Yo) with the tap outermost so each
-    (Zc, Nc) dT block accumulates in VMEM across the whole batch and is
-    written back once per tap. g2: (B, Yo, Xo, Z*cout) -> dT (k*k, Zc, Nc)
-    f32. g2 is re-fetched per tap (~k^2 x its size of HBM traffic) — the
-    alternative (tap-inner) writes the f32 dT block back every step, which
-    costs more."""
-    B, Y, X, Z, cin = x.shape
-    Yo, Xo = -(-Y // sy), -(-X // sx)
-    Zc, Nc = Z * cin, g2.shape[-1]
-    ph = _pad_phases(x, k, sy, sx)
-    Xq = ph.shape[3]
-
     return pl.pallas_call(
-        _wgrad_kernel_factory(k, sy, sx, Xo, Xq, Zc, Nc),
+        kernel,
         grid=(k * k, B, Yo),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # phases in HBM, row-DMA'd
+            pl.BlockSpec(
+                (1, 1, 1, Xo, Zc), lambda t, b, y: (t, b, y, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec(
                 (1, 1, Xo, Nc), lambda t, b, y: (b, y, 0, 0),
                 memory_space=pltpu.VMEM,
@@ -242,19 +244,16 @@ def _stem_pallas_wgrad(x, g2, k, sy=2, sx=2, interpret=False):
             (1, Zc, Nc), lambda t, b, y: (t, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((k * k, Zc, Nc), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((1, 1, Xq, Zc), x.dtype),
-            pltpu.SemaphoreType.DMA(()),
-        ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=14 * 2**20),
         cost_estimate=pl.CostEstimate(
             flops=2 * k * k * B * Yo * Xo * Zc * Nc,
-            bytes_accessed=k * k * (B * Yo * (Xo * Nc + Xq * Zc)) * 2
+            bytes_accessed=taps.size * taps.dtype.itemsize
+            + k * k * B * Yo * Xo * Nc * g2.dtype.itemsize
             + k * k * Zc * Nc * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(ph, g2)
+    )(taps, g2)
 
 
 # --------------------------------------------------------------------- #
