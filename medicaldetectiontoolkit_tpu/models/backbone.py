@@ -370,14 +370,18 @@ class ConvND(nn.Module):
             return self._finish(x)
         G = self.zblock
         if G is None and self.dim == 3 and _zfold_backend_default():
-            # opt-in auto policy (MDT_ZBLOCK_G=<G>): mid-cin 3D convs where
-            # zband's z/ks inflation is prohibitive but lane padding still
-            # starves the MXU; chip A/B pending (tools/chip_queue.sh)
+            # auto policy, PROMOTED from env opt-in by the round-4 chip A/B
+            # (chip_logs_r4/ab_zblock7.log: full LIDC step 244.0 ms vs 263.9
+            # base = 7.5% win, meeting the <=0.95x promotion rule written in
+            # tools/chip_queue.sh): mid-cin 3D convs where zband's z/ks
+            # inflation is prohibitive but lane padding still starves the
+            # MXU. G=7 is the measured configuration (N = G*cout = 126 at
+            # the cin-18 stem). MDT_ZBLOCK_G overrides (0 disables).
             import os
 
             env_g = os.environ.get("MDT_ZBLOCK_G")
-            if env_g and 4 < x.shape[-1] <= 36 and x.shape[-2] >= 32 and self.ks >= 3:
-                G = int(env_g)
+            if 4 < x.shape[-1] <= 36 and x.shape[-2] >= 32 and self.ks >= 3:
+                G = int(env_g) if env_g else 7
         if G and self.dim == 3 and same_geom:
             x = _ZBlockBandedConv(
                 features=self.features, ks=self.ks, stride=stride, pad=self.pad,

@@ -60,8 +60,54 @@ def _mix(x, i):
     The TPU runtime elides executions whose inputs are bit-identical to a
     previous call (content-addressed: additive epsilons that round away do
     NOT defeat it — burned us twice in round 2). A 1e-3 relative scale is
-    numerically irrelevant for timing purposes but forces real execution."""
+    numerically irrelevant for timing purposes but forces real execution.
+
+    CAUTION: NOT sufficient for conv-dominated probes — XLA hoists the
+    scalar multiply across convolutions (conv(s*x) -> s*conv(x)), so the
+    conv fragment's inputs stay bit-identical and its execution is elided
+    (tools/convprobe.py found this; `fwd` read 0.2 ms/step that way).
+    Conv probes must chain a data-dependent mixer instead (`_timed_chain`)."""
     return x * (1.0 + i.astype(x.dtype) * x.dtype.type(1e-3))
+
+
+def _timed_chain(fn, *args, n=None, name=""):
+    """Like _timed, but for conv-dominated probes where scalar input mixing
+    gets hoisted across the convs and elided. ``fn(*args, m)`` must return
+    ``(out, m_next)`` with ``m_next`` a scalar computed FROM the conv
+    outputs: the next call's input then genuinely differs in a way no
+    algebraic rewrite can factor out. Costs one host sync per step (the
+    scalar travels through the host), negligible at >=10 ms/step."""
+    import jax
+    import jax.numpy as jnp
+
+    n = n or int(os.environ.get("MDT_ABLATE_STEPS", 10))
+    out, m = fn(*args, jnp.float32(0.0))
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out, m = fn(*args, m)
+    jax.block_until_ready(out)
+    t_second = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out, m = fn(*args, m)
+        m.block_until_ready()
+    dt = (time.perf_counter() - t0) / n
+    print(f"{name:>12}: {dt * 1e3:8.1f} ms/step   (single warm: {t_second * 1e3:.1f} ms)", flush=True)
+    return dt
+
+
+def _chain_mix(x, m):
+    """Perturb x by the chained mixer scalar: bounded (~1% relative, above
+    bf16's 2^-8 resolution so it survives the cast) yet data-dependent."""
+    return x * (1.0 + 0.01 * m.astype(x.dtype))
+
+
+def _next_mixer(val):
+    """Fold a device scalar into a bounded mixer in [0, 1)."""
+    import jax.numpy as jnp
+
+    s = val.astype(jnp.float32)
+    return s - jnp.floor(s)
 
 
 def main(variants):
@@ -118,8 +164,13 @@ def main(variants):
         params, opt_state = state["p"], state["o"]
 
     if "fwd" in variants:
-        fwd = jax.jit(lambda p, x, i: net._predict(p, _mix(x, i)))
-        _timed(fwd, params, img, name="fwd")
+        @jax.jit
+        def fwd(p, x, m):
+            heads = net._predict(p, _chain_mix(x, m))
+            s = jnp.sum(heads[0].astype(jnp.float32))
+            return s, _next_mixer(s)
+
+        _timed_chain(fwd, params, img, name="fwd")
 
     if "bb_fwd" in variants or "bb_bwd" in variants:
         from medicaldetectiontoolkit_tpu.models import base as mbase
@@ -136,21 +187,27 @@ def main(variants):
         fpn_params = jax.jit(fpn.init)(jax.random.PRNGKey(0), img)["params"]
 
         if "bb_fwd" in variants:
-            bb = jax.jit(lambda p, x, i: [jnp.sum(o.astype(jnp.float32)) for o in fpn.apply({"params": p}, _mix(x, i))])
-            _timed(bb, fpn_params, img, name="bb_fwd")
+            @jax.jit
+            def bb(p, x, m):
+                outs = fpn.apply({"params": p}, _chain_mix(x, m))
+                s = sum(jnp.sum(o.astype(jnp.float32)) for o in outs)
+                return s, _next_mixer(s)
+
+            _timed_chain(bb, fpn_params, img, name="bb_fwd")
 
         if "bb_bwd" in variants:
             def bb_loss(p, x):
                 return sum(jnp.sum(o.astype(jnp.float32)) for o in fpn.apply({"params": p}, x))
 
-            def bb_grad_scalar(p, x, i):
-                g = jax.grad(bb_loss)(p, _mix(x, i))
+            @jax.jit
+            def bbg(p, x, m):
+                g = jax.grad(bb_loss)(p, _chain_mix(x, m))
                 # reduce over ALL leaves: returning a single leaf lets XLA
                 # dead-code-eliminate the other gradients (partial backward)
-                return sum(jnp.sum(l.astype(jnp.float32)) for l in jax.tree_util.tree_leaves(g))
+                s = sum(jnp.sum(l.astype(jnp.float32)) for l in jax.tree_util.tree_leaves(g))
+                return s, _next_mixer(s)
 
-            bbg = jax.jit(bb_grad_scalar)
-            _timed(bbg, fpn_params, img, name="bb_bwd")
+            _timed_chain(bbg, fpn_params, img, name="bb_bwd")
 
     if "detect" in variants:
         heads = net._predict_fn(params, img)
