@@ -139,20 +139,24 @@ class _ZFoldedConv(nn.Module):
 
 
 def _zband_policy(cin: int, z_len: int, ks: int) -> bool:
-    """Full-z banding pays only for TINY input channel counts.
+    """Full-z banding at the tiny-cin stem: DEMOTED to opt-in by the round-4
+    hardware A/B.
 
-    The banded GEMM inflates FLOPs by ~z/ks (band density) but gets MXU-shaped
-    contractions (K = z*cin, N = z_out*cout) instead of XLA's lane-padded
-    small-channel 3D conv. At cin<=4 the inflated FLOPs are still trivially
-    small in absolute terms (<=120 GFLOP at LIDC stem geometry) while the
-    XLA path is bandwidth/relayout-bound; at cin>=18 the inflation reaches
-    TFLOP scale and cancels the win — those stay on the z-fold path.
-    ``MDT_NO_ZBAND=1`` disables the auto policy (A/B + driver safety valve;
-    the path is exactness-tested on CPU but not yet timed on hardware).
+    The banded GEMM gets MXU-shaped contractions (K = z*cin, N = z_out*cout)
+    instead of XLA's lane-padded small-channel 3D conv, at a ~z/ks FLOP
+    inflation. The theory said cin<=4 pays; the chip said otherwise: with the
+    rest of the round-4 program in place, the full LIDC train step measured
+    245.0 ms with the stem zband OFF vs 263.9 ms with it ON
+    (chip_logs_r4/ab_nozband.log vs ab_base.log) — a ~19 ms/step
+    pessimization, so the auto policy is now opt-in via ``MDT_ZBAND=1``
+    (``MDT_NO_ZBAND=1`` still forces it off, for old queue scripts).
+    The path stays exactness-tested and param-compatible.
     """
     import os
 
     if os.environ.get("MDT_NO_ZBAND") == "1":
+        return False
+    if os.environ.get("MDT_ZBAND") != "1":
         return False
     return cin <= 4 and z_len >= 32 and ks >= 3
 
@@ -379,9 +383,11 @@ class ConvND(nn.Module):
             # the cin-18 stem). MDT_ZBLOCK_G overrides (0 disables).
             import os
 
+            # empty MDT_ZBLOCK_G disables, same as "0" (an unset-looking value
+            # must never silently enable an auto policy)
             env_g = os.environ.get("MDT_ZBLOCK_G")
             if 4 < x.shape[-1] <= 36 and x.shape[-2] >= 32 and self.ks >= 3:
-                G = int(env_g) if env_g else 7
+                G = 7 if env_g is None else int(env_g or 0)
         if G and self.dim == 3 and same_geom:
             x = _ZBlockBandedConv(
                 features=self.features, ks=self.ks, stride=stride, pad=self.pad,

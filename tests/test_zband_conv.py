@@ -76,7 +76,13 @@ class TestZBandEquivalence:
             lambda a, c: np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=1e-4, atol=1e-4),
             gp_band, gp_ref)
 
-    def test_policy_gates(self):
+    def test_policy_default_off(self):
+        # demoted to opt-in by the round-4 hardware A/B (ab_nozband 245.0 ms
+        # beat ab_base 263.9 ms at the full LIDC step)
+        assert not bb._zband_policy(1, 64, 7)
+
+    def test_policy_gates_when_opted_in(self, monkeypatch):
+        monkeypatch.setenv("MDT_ZBAND", "1")
         assert bb._zband_policy(1, 64, 7)          # LIDC stem
         assert bb._zband_policy(4, 32, 3)          # small-cin full-res conv
         assert not bb._zband_policy(18, 64, 7)     # wide cin: stay on zfold
@@ -84,6 +90,7 @@ class TestZBandEquivalence:
         assert not bb._zband_policy(1, 64, 1)      # 1x1x1: no banding
 
     def test_env_kill_switch(self, monkeypatch):
+        monkeypatch.setenv("MDT_ZBAND", "1")
         monkeypatch.setenv("MDT_NO_ZBAND", "1")
         assert not bb._zband_policy(1, 64, 7)
 

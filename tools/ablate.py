@@ -70,13 +70,19 @@ def _mix(x, i):
     return x * (1.0 + i.astype(x.dtype) * x.dtype.type(1e-3))
 
 
-def _timed_chain(fn, *args, n=None, name=""):
+def _timed_chain(fn, *args, n=None, name="", floor_ms=None):
     """Like _timed, but for conv-dominated probes where scalar input mixing
     gets hoisted across the convs and elided. ``fn(*args, m)`` must return
     ``(out, m_next)`` with ``m_next`` a scalar computed FROM the conv
     outputs: the next call's input then genuinely differs in a way no
     algebraic rewrite can factor out. Costs one host sync per step (the
-    scalar travels through the host), negligible at >=10 ms/step."""
+    scalar travels through the host), negligible at >=10 ms/step.
+
+    ``floor_ms`` is an elision tripwire: a full-program fragment (whole
+    forward, whole backbone backward) physically cannot run in under a few
+    ms at this geometry, so a reading below the floor means the runtime
+    elided the execution and the number is dispatch time, not compute. Such
+    variants are flagged and the process exits nonzero."""
     import jax
     import jax.numpy as jnp
 
@@ -92,14 +98,34 @@ def _timed_chain(fn, *args, n=None, name=""):
         out, m = fn(*args, m)
         m.block_until_ready()
     dt = (time.perf_counter() - t0) / n
-    print(f"{name:>12}: {dt * 1e3:8.1f} ms/step   (single warm: {t_second * 1e3:.1f} ms)", flush=True)
+    flag = ""
+    if floor_ms is not None and dt * 1e3 < floor_ms:
+        flag = f"   ** ELIDED (< {floor_ms} ms sanity floor) — number INVALID **"
+        _FLOOR_FAILURES.append(name)
+    print(
+        f"{name:>12}: {dt * 1e3:8.1f} ms/step   (single warm: {t_second * 1e3:.1f} ms){flag}",
+        flush=True,
+    )
     return dt
 
 
+_FLOOR_FAILURES = []
+
+
 def _chain_mix(x, m):
-    """Perturb x by the chained mixer scalar: bounded (~1% relative, above
-    bf16's 2^-8 resolution so it survives the cast) yet data-dependent."""
-    return x * (1.0 + 0.01 * m.astype(x.dtype))
+    """Embed the chained mixer INTO the tensor contents: one corner element
+    set to a bounded function of the prior output.
+
+    A scalar *multiply* mixer (x * (1 + eps*m)) is useless for conv probes no
+    matter where m comes from — XLA hoists the multiply across convolutions
+    (conv(s*x) == s*conv(x)), so the conv fragment's runtime inputs stay
+    bit-identical and the content-addressed runtime elides the execution
+    (round-4 ab_fwd_chain still read 0.3-0.5 ms after the chained-scalar
+    rewrite). A single-element dynamic-update cannot be factored out of a
+    convolution by any algebraic rewrite, and `.set` (not `.add`) cannot
+    round away in bf16."""
+    idx = (0,) * x.ndim
+    return x.at[idx].set((0.5 + 0.5 * m).astype(x.dtype))
 
 
 def _next_mixer(val):
@@ -167,10 +193,12 @@ def main(variants):
         @jax.jit
         def fwd(p, x, m):
             heads = net._predict(p, _chain_mix(x, m))
-            s = jnp.sum(heads[0].astype(jnp.float32))
+            # reduce over ALL heads: returning only the class logits lets XLA
+            # dead-code-eliminate the bb-delta and seg branches
+            s = sum(jnp.sum(h.astype(jnp.float32)) for h in heads)
             return s, _next_mixer(s)
 
-        _timed_chain(fwd, params, img, name="fwd")
+        _timed_chain(fwd, params, img, name="fwd", floor_ms=5.0)
 
     if "bb_fwd" in variants or "bb_bwd" in variants:
         from medicaldetectiontoolkit_tpu.models import base as mbase
@@ -193,7 +221,7 @@ def main(variants):
                 s = sum(jnp.sum(o.astype(jnp.float32)) for o in outs)
                 return s, _next_mixer(s)
 
-            _timed_chain(bb, fpn_params, img, name="bb_fwd")
+            _timed_chain(bb, fpn_params, img, name="bb_fwd", floor_ms=5.0)
 
         if "bb_bwd" in variants:
             def bb_loss(p, x):
@@ -207,7 +235,7 @@ def main(variants):
                 s = sum(jnp.sum(l.astype(jnp.float32)) for l in jax.tree_util.tree_leaves(g))
                 return s, _next_mixer(s)
 
-            _timed_chain(bbg, fpn_params, img, name="bb_bwd")
+            _timed_chain(bbg, fpn_params, img, name="bb_bwd", floor_ms=5.0)
 
     if "detect" in variants:
         heads = net._predict_fn(params, img)
@@ -278,3 +306,6 @@ def main(variants):
 
 if __name__ == "__main__":
     main(sys.argv[1:] or ["full", "fwd", "bb_fwd", "bb_bwd", "detect"])
+    if _FLOOR_FAILURES:
+        print(f"ELIDED VARIANTS (numbers invalid): {_FLOOR_FAILURES}", flush=True)
+        sys.exit(3)
