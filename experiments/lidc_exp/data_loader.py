@@ -36,38 +36,66 @@ from medicaldetectiontoolkit_tpu.data.loader import BatchGeneratorBase, MultiThr
 from medicaldetectiontoolkit_tpu.data.seg_to_boxes import convert_seg_to_bounding_box_coordinates
 
 
+def _fold_splits(cf, n_pids):
+    """Per-experiment CV fold assignments, created once and reused.
+
+    The pickle in exp_dir is the cross-run source of truth (the reference
+    regenerates it only on the first fold of a fresh experiment, keyed on
+    ``cf.created_fold_id_pickle`` — reference data_loader.py:54-61); every
+    later fold/run of the same experiment must read the SAME split.
+    """
+    path = os.path.join(cf.exp_dir, "fold_ids.pickle")
+    if cf.created_fold_id_pickle:
+        with open(path, "rb") as fh:
+            return pickle.load(fh)
+    splits = dutils.fold_generator(
+        seed=cf.seed, n_splits=cf.n_cv_splits, len_data=n_pids
+    ).get_fold_names()
+    with open(path, "wb") as fh:
+        pickle.dump(splits, fh)
+    cf.created_fold_id_pickle = True
+    return splits
+
+
 def get_train_generators(cf, logger):
+    """Train/val batch-generator pipeline for one CV fold.
+
+    One split validates, one is held out for testing, the rest train; with
+    ``cf.hold_out_test_set`` the test split folds back into training and
+    testing happens on the separate hold-out directory instead (contract of
+    reference data_loader.py:44-85).
+    """
     all_data = load_dataset(cf, logger)
-    all_pids_list = np.unique([v["pid"] for (k, v) in all_data.items()])
+    pids = np.unique([v["pid"] for v in all_data.values()])
+    train_ix, val_ix, test_ix, _ = _fold_splits(cf, len(pids))[cf.fold]
 
-    if not cf.created_fold_id_pickle:
-        fg = dutils.fold_generator(seed=cf.seed, n_splits=cf.n_cv_splits, len_data=len(all_pids_list)).get_fold_names()
-        with open(os.path.join(cf.exp_dir, "fold_ids.pickle"), "wb") as handle:
-            pickle.dump(fg, handle)
-        cf.created_fold_id_pickle = True
-    else:
-        with open(os.path.join(cf.exp_dir, "fold_ids.pickle"), "rb") as handle:
-            fg = pickle.load(handle)
-
-    train_ix, val_ix, test_ix, _ = fg[cf.fold]
-    train_pids = [all_pids_list[ix] for ix in train_ix]
-    val_pids = [all_pids_list[ix] for ix in val_ix]
+    keep = {
+        "train": {pids[i] for i in train_ix},
+        "val": {pids[i] for i in val_ix},
+    }
     if cf.hold_out_test_set:
-        train_pids += [all_pids_list[ix] for ix in test_ix]
+        keep["train"].update(pids[i] for i in test_ix)
+    subset = {
+        name: {k: v for k, v in all_data.items() if v["pid"] in wanted}
+        for name, wanted in keep.items()
+    }
+    logger.info(
+        f"data set loaded with: {len(train_ix)} train / {len(val_ix)} val / "
+        f"{len(test_ix)} test patients"
+    )
 
-    train_data = {k: v for (k, v) in all_data.items() if v["pid"] in set(train_pids)}
-    val_data = {k: v for (k, v) in all_data.items() if v["pid"] in set(val_pids)}
-
-    logger.info(f"data set loaded with: {len(train_ix)} train / {len(val_ix)} val / {len(test_ix)} test patients")
-    batch_gen = {}
-    batch_gen["train"] = create_data_gen_pipeline(train_data, cf=cf, is_training=True)
-    batch_gen["val_sampling"] = create_data_gen_pipeline(val_data, cf=cf, is_training=False)
+    gens = {
+        "train": create_data_gen_pipeline(subset["train"], cf=cf, is_training=True),
+        "val_sampling": create_data_gen_pipeline(subset["val"], cf=cf, is_training=False),
+    }
     if cf.val_mode == "val_patient":
-        batch_gen["val_patient"] = PatientBatchIterator(val_data, cf=cf)
-        batch_gen["n_val"] = len(val_ix) if cf.max_val_patients is None else min(len(val_ix), cf.max_val_patients)
+        gens["val_patient"] = PatientBatchIterator(subset["val"], cf=cf)
+        gens["n_val"] = (
+            len(val_ix) if cf.max_val_patients is None else min(len(val_ix), cf.max_val_patients)
+        )
     else:
-        batch_gen["n_val"] = cf.num_val_batches
-    return batch_gen
+        gens["n_val"] = cf.num_val_batches
+    return gens
 
 
 def get_test_generator(cf, logger):

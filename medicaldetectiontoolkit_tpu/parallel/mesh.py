@@ -502,7 +502,16 @@ def maybe_initialize_distributed(logger=None):
     rank = os.environ.get("MDT_DIST_RANK")
     if not (coord and nprocs and rank):
         return False
-    jax.distributed.initialize(coord, num_processes=int(nprocs), process_id=int(rank))
+    # rendezvous bound: the default (~5 min connect, but gloo barriers inside
+    # use ~30 s) flakes on contended 1-core CI boxes; MDT_DIST_INIT_TIMEOUT
+    # widens the coordinator connect window (seconds)
+    init_timeout = int(os.environ.get("MDT_DIST_INIT_TIMEOUT", "300"))
+    jax.distributed.initialize(
+        coord,
+        num_processes=int(nprocs),
+        process_id=int(rank),
+        initialization_timeout=init_timeout,
+    )
     if logger is not None:
         logger.info(
             "jax.distributed initialized: rank %s/%s @ %s (%d global / %d local devices)",

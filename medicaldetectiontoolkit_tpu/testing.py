@@ -103,7 +103,7 @@ def make_batch(cf, seed=42):
     shape = (bsz, cf.n_channels, *cf.patch_size)
     data = rng.rand(*shape).astype(np.float32)
     seg = np.zeros((bsz, 1) + tuple(cf.patch_size), dtype=np.uint8)
-    boxes, labels = [], []
+    boxes, labels, roi_masks = [], [], []
     ps = cf.patch_size
     for b in range(bsz):
         y1, x1 = rng.randint(2, ps[0] // 2, 2)
@@ -118,11 +118,14 @@ def make_batch(cf, seed=42):
             boxes.append(np.array([[y1, x1, y2, x2, z1, z2]], np.float32))
             seg[b, 0, y1:y2, x1:x2, z1:z2] = 1
         labels.append(np.array([rng.randint(1, cf.head_classes)]))
+        # per-roi full-res binary masks (mrcnn's data contract; others ignore)
+        roi_masks.append(seg[b][None].copy())
     return {
         "data": data,
         "seg": seg,
         "bb_target": boxes,
         "roi_labels": labels,
+        "roi_masks": roi_masks,
         "pid": [str(i) for i in range(bsz)],
         "class_target": np.array([[l[0] - 1] for l in labels]),
     }

@@ -205,28 +205,46 @@ def _free_port():
 
 
 def _run_workers(worker=WORKER):
-    coord = f"127.0.0.1:{_free_port()}"
-    procs = [
-        subprocess.Popen(
-            [sys.executable, "-c", worker, str(rank), coord],
-            cwd=REPO, env=_env(2), stdout=subprocess.PIPE,
-            stderr=subprocess.PIPE, text=True,
-        )
-        for rank in range(2)
-    ]
-    outs, errs, rcs = [], [], []
-    for p in procs:
-        out, err = p.communicate(timeout=600)
-        outs.append(out)
-        errs.append(err)
-        rcs.append(p.returncode)
-    return outs, errs, rcs
+    """Spawn the 2-process job under a box-wide file lock.
+
+    The lock serializes every multihost spawn on this machine (other pytest
+    processes, the chip queue's suite run): gloo's rendezvous + shutdown
+    barriers are wall-clock-bounded, and two 2-process jobs time-slicing one
+    CPU core reliably blow the 30 s deadline (round-4's only suite failure).
+    """
+    import fcntl
+
+    with open("/tmp/mdt_multihost.lock", "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        coord = f"127.0.0.1:{_free_port()}"
+        procs = [
+            subprocess.Popen(
+                [sys.executable, "-c", worker, str(rank), coord],
+                cwd=REPO, env=_env(2), stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE, text=True,
+            )
+            for rank in range(2)
+        ]
+        outs, errs, rcs = [], [], []
+        for p in procs:
+            out, err = p.communicate(timeout=600)
+            outs.append(out)
+            errs.append(err)
+            rcs.append(p.returncode)
+        return outs, errs, rcs
+
+
+def _is_contention_flake(errs):
+    return any(
+        "Gloo" in e or "DEADLINE" in e or "Timed out" in e or "timed out" in e
+        for e in errs
+    )
 
 
 @pytest.mark.slow
 def test_two_process_dp_step_matches_single_process():
     outs, errs, rcs = _run_workers()
-    if any(rc != 0 for rc in rcs) and any("Gloo" in e or "DEADLINE" in e for e in errs):
+    if any(rc != 0 for rc in rcs) and _is_contention_flake(errs):
         # gloo's ~30 s rendezvous can time out under heavy host contention
         # (1-CPU CI boxes running the suite in parallel); one clean retry
         outs, errs, rcs = _run_workers()
@@ -256,7 +274,7 @@ def test_two_process_spatial_train_step_matches_single_process():
     image Y split host-locally on 'space'. The replicated monitor loss must
     match the plain single-device step on the same batch."""
     outs, errs, rcs = _run_workers(WORKER_SPATIAL)
-    if any(rc != 0 for rc in rcs) and any("Gloo" in e or "DEADLINE" in e for e in errs):
+    if any(rc != 0 for rc in rcs) and _is_contention_flake(errs):
         outs, errs, rcs = _run_workers(WORKER_SPATIAL)
     for rc, err in zip(rcs, errs):
         assert rc == 0, err[-3000:]

@@ -148,41 +148,63 @@ def main(variants):
         def info(self, *a, **k):
             pass
 
+    model = os.environ.get("MDT_ABLATE_MODEL", "retina_unet")
     bs = int(os.environ.get("MDT_ABLATE_BATCH", 4))
     sf = int(os.environ.get("MDT_ABLATE_SF", 18))
     patch = [int(v) for v in os.environ.get("MDT_ABLATE_PATCH", "128,128,64").split(",")]
     cf = make_config(
-        model="retina_unet", dim=3, patch_size=patch,
+        model=model, dim=3, patch_size=patch,
         start_filts=sf, end_filts=sf * 2, batch_size=bs,
+        # mrcnn/ufrcnn RPN heads emit 3 anchors/position (plain scales);
+        # only the retina family uses the 2^(1/3) triplets (9/position)
+        retina_scales=model in ("retina_net", "retina_unet"),
     )
     cf.n_rpn_features = 64
     cf.pre_nms_limit = 50000
     cf.model_max_instances_per_batch_element = 30
     cf.rpn_train_anchors_per_image = 300
+    if model == "mrcnn":
+        # the LIDC 3D mrcnn settings (experiments/lidc_exp/configs.py) so the
+        # ablation times the same second-stage the conv3d runs pay for
+        cf.rpn_train_anchors_per_image = 6
+        cf.train_rois_per_image = 6
+        cf.pre_nms_limit = 6000
+        cf.roi_chunk_size = 600
+        cf.post_nms_rois_training = 75
+        cf.post_nms_rois_inference = 500
     cf.compute_dtype = os.environ.get("MDT_ABLATE_DTYPE", "bfloat16")
     if os.environ.get("MDT_ABLATE_REMAT"):
         cf.use_remat = os.environ["MDT_ABLATE_REMAT"] == "1"
+    if os.environ.get("MDT_GRAD_ACCUM"):
+        cf.grad_accum_steps = int(os.environ["MDT_GRAD_ACCUM"])
 
     net = build_model(cf, _Log())
     net.initialize(seed=0)
     batch = make_batch(cf)
-    img = model_base.image_to_device(batch["data"])
-    gt_boxes, gt_ids, gt_valid = model_base.pad_gt_boxes(
-        batch["bb_target"], batch["roi_labels"], img.shape[0], cf.dim, cf.max_gt_boxes
-    )
-    seg = model_base.seg_to_device(batch["seg"])
+    prep = net._prep(batch)  # family-specific device-input tuple
+    img, gt_boxes, gt_ids, gt_valid = prep[0], prep[1], prep[2], prep[3]
+    seg = prep[-1]
     rng = jax.random.PRNGKey(0)
     lr = jnp.float32(1e-4)
     params, opt_state = net.params, net.opt_state
 
-    print(f"batch={bs} sf={sf} dtype={cf.compute_dtype} remat={cf.use_remat}", flush=True)
+    print(f"model={model} batch={bs} sf={sf} dtype={cf.compute_dtype} remat={cf.use_remat}", flush=True)
+
+    if model != "retina_unet":
+        # the drill-down variants wire retina-family internals (_predict
+        # heads, _finalize_outputs_jit, _losses_and_outputs signatures)
+        allowed = {"full", "bb_fwd", "bb_bwd", "adam"}
+        dropped = [v for v in variants if v not in allowed]
+        if dropped:
+            print(f"(model={model}: skipping retina-only variants {dropped})", flush=True)
+        variants = [v for v in variants if v in allowed]
 
     if "full" in variants:
         state = {"p": params, "o": opt_state}  # the step donates both buffers
 
         def full(i):
             out = net._train_step_fn(state["p"], state["o"], jax.random.fold_in(rng, i),
-                                     lr, img, gt_boxes, gt_ids, gt_valid, seg)
+                                     lr, *prep)
             state["p"], state["o"] = out[0], out[1]
             return out[2]["loss"]
 
