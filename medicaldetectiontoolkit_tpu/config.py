@@ -137,3 +137,12 @@ class DefaultConfigs:
         # see one microbatch at a time — same as the reference at the
         # smaller physical batch. MDT_GRAD_ACCUM overrides.
         self.grad_accum_steps = int(os.environ.get("MDT_GRAD_ACCUM", "1") or 1)
+
+        # how backbone identity blocks execute: "unroll" (nn.scan fully
+        # unrolled, stacked params), "scan" (rolled), or "loop" (plain Python
+        # loop, per-block param subtrees — no stacked axis, so the backward
+        # pass has no per-block dynamic-update-slice/relayout copies; ~25
+        # copy.* ops at 1.3-2.3 ms each in the round-4 trace). Trace/param
+        # names differ between loop and scan/unroll, so checkpoints are not
+        # interchangeable across modes.
+        self.stage_mode = os.environ.get("MDT_STAGE_MODE", "unroll")

@@ -59,7 +59,21 @@ for s in "$@"; do
     # fwd/bb split with the tensor-content mixer + 5 ms elision floor
     ab_fwd2)       stage ab_fwd2 2400 python tools/ablate.py fwd bb_fwd bb_bwd ;;
     ab_mrcnn)      stage ab_mrcnn 3600 env MDT_ABLATE_MODEL=mrcnn python tools/ablate.py full ;;
+    ab_stage_loop) stage ab_stage_loop 2400 env MDT_STAGE_MODE=loop python tools/ablate.py full ;;
+    # exec-harness factor decomposition (VERDICT r4 Weak 3) on the chip
+    hprobe_toy)    stage hprobe_toy 2400 python tools/harness_probe.py --exp toy --model mrcnn --steps 6 --bs 20 --exp_dir /tmp/hprobe_toy ;;
+    hprobe_lidc)   stage hprobe_lidc 3600 env MDT_GRAD_ACCUM=4 python tools/harness_probe.py --exp lidc --model retina_unet --steps 4 --bs 8 --exp_dir /tmp/hprobe_lidc ;;
+    hprobe_mrcnn)  stage hprobe_mrcnn 4500 env MDT_GRAD_ACCUM=4 python tools/harness_probe.py --exp lidc --model mrcnn --steps 4 --bs 8 --exp_dir /tmp/hprobe_mrcnn ;;
     trace)         stage trace 1800 python tools/trace.py ;;
+    # PET-CT on-chip smoke (VERDICT r4 Next 8): synthetic dual-modality data,
+    # full exec drive (--dev), hold-out test path + WBC ensembling
+    petct_smoke)
+      python experiments/pet_ct_tnm_classification/preprocessing.py \
+        --synthetic --out_dir /tmp/petct_synth --n_patients 8 > "$OUT/petct_gen.log" 2>&1
+      stage petct_smoke 3600 env MDT_PETCT_PP=/tmp/petct_synth \
+        python exec.py --mode train_test \
+        --exp_source experiments/pet_ct_tnm_classification \
+        --exp_dir /tmp/petct_smoke --folds 0 --dev ;;
     *)             # free-form: "name:timeout:cmd..." via env is overkill; run scripts/ad-hoc
                    echo "unknown stage: $s" ;;
   esac
