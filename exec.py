@@ -80,7 +80,9 @@ def train(cf, data_loader, logger):
         pending = None
 
         def _finish(handles, fbatch, fbix, tic, foreign=0.0):
-            results_dict = net.train_forward_convert(handles, fbatch)
+            # monitoring consumes boxes + floats only; skip the full-volume
+            # seg_preds device->host pull (the slow direction of the link)
+            results_dict = net.train_forward_convert(handles, fbatch, need_seg_preds=False)
             # 'foreign' is host time spent on the NEXT batch (loading +
             # dispatch) between this batch's tic and now — subtract it so the
             # pipelined log reports this step's own device+convert time, not
@@ -142,12 +144,19 @@ def train(cf, data_loader, logger):
                 elif pipelined:
                     handles = net.train_forward_dispatch(batch, is_validation=True)
                     if pending_val is not None:
-                        _record_val(net.train_forward_convert(*pending_val), pending_val[1])
+                        _record_val(
+                            net.train_forward_convert(*pending_val, need_seg_preds=False),
+                            pending_val[1],
+                        )
                     pending_val = (handles, batch)
                 else:
-                    _record_val(net.train_forward(batch, is_validation=True), batch)
+                    _record_val(
+                        net.train_forward(batch, is_validation=True, need_seg_preds=False), batch
+                    )
             if pending_val is not None:
-                _record_val(net.train_forward_convert(*pending_val), pending_val[1])
+                _record_val(
+                    net.train_forward_convert(*pending_val, need_seg_preds=False), pending_val[1]
+                )
 
             _, monitor_metrics["val"] = val_evaluator.evaluate_predictions(val_results_list, monitor_metrics["val"])
             model_selector.run_model_selection(net, monitor_metrics, epoch)

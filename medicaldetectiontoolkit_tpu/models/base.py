@@ -282,20 +282,30 @@ class Detector:
     def train_forward_dispatch(self, batch, is_validation: bool = False, do_update: bool = True):
         return self.train_forward(batch, is_validation, do_update)
 
-    def train_forward_convert(self, handles, batch):
+    def train_forward_convert(self, handles, batch, need_seg_preds: bool = True):
         return handles
 
-    def train_forward(self, batch, is_validation: bool = False, do_update: bool = True):
+    def train_forward(self, batch, is_validation: bool = False, do_update: bool = True,
+                      need_seg_preds: bool = True):
         """One step (with optimizer update unless validating) -> the
         reference results dict: boxes, seg_preds, loss, monitor_values,
-        logger_string (reference model.train_forward contract)."""
+        logger_string (reference model.train_forward contract).
+
+        ``need_seg_preds=False`` lets per-step monitoring skip materializing
+        the full-volume seg prediction on the host: the device->host link is
+        the slow direction on a tunneled TPU (~MB/s), training/val-sampling
+        loops only consume boxes + monitor floats, and seg_preds is read only
+        by the per-epoch plotting call. Models whose box results DERIVE from
+        the seg output (detection_unet) ignore the flag.
+        """
         if type(self).train_forward_dispatch is Detector.train_forward_dispatch:
             raise NotImplementedError(
                 "detector must implement train_forward or the "
                 "train_forward_dispatch/convert pair"
             )
         return self.train_forward_convert(
-            self.train_forward_dispatch(batch, is_validation, do_update), batch
+            self.train_forward_dispatch(batch, is_validation, do_update), batch,
+            need_seg_preds=need_seg_preds,
         )
 
     def test_forward_dispatch(self, batch, **kwargs):

@@ -226,7 +226,9 @@ class DetectionUNet(base.Detector):
             self.params, self.opt_state, loss, smax = self._train_step_fn(self.params, self.opt_state, lr, img, seg)
         return loss, smax
 
-    def train_forward_convert(self, handles, batch):
+    def train_forward_convert(self, handles, batch, need_seg_preds: bool = True):
+        # need_seg_preds is ignored: this model's detection boxes DERIVE from
+        # the softmax volume, so the device->host pull is unavoidable here
         loss, smax = handles
         smax = np.asarray(smax)
         boxes = self._boxes_from_softmax(smax)

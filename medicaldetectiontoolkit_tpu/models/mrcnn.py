@@ -818,7 +818,8 @@ class MaskRCNNDetector(base.Detector):
         )
         return img, gt_boxes, gt_ids, gt_valid, gt_masks, seg
 
-    def _assemble_results(self, batch, monitor, outs, with_masks, box_results_list=None, train_info=True):
+    def _assemble_results(self, batch, monitor, outs, with_masks, box_results_list=None,
+                          train_info=True, need_seg_preds=True):
         cf = self.cf
         img_shape = batch["data"].shape
         bsz = img_shape[0]
@@ -848,7 +849,12 @@ class MaskRCNNDetector(base.Detector):
                     )
 
         base.detections_to_box_results(cf, outs["det"], outs["det_mask"], box_results_list)
-        seg_preds = self._make_seg_preds(outs, img_shape, with_masks)
+        if need_seg_preds:
+            seg_preds = self._make_seg_preds(outs, img_shape, with_masks)
+        else:
+            # skip the full-volume device->host pull; keep the (b,1,*sp)
+            # shape contract with a cheap host-side zero volume
+            seg_preds = np.zeros((bsz, 1) + tuple(img_shape[2:]), dtype=np.float32)
         return box_results_list, seg_preds
 
     def _make_seg_preds(self, outs, img_shape, with_masks):
@@ -900,10 +906,12 @@ class MaskRCNNDetector(base.Detector):
             )
         return monitor, outs, with_masks
 
-    def train_forward_convert(self, handles, batch):
+    def train_forward_convert(self, handles, batch, need_seg_preds: bool = True):
         monitor, outs, with_masks = handles
         monitor = {k: float(v) for k, v in monitor.items()}
-        boxes, seg_preds = self._assemble_results(batch, monitor, outs, with_masks)
+        boxes, seg_preds = self._assemble_results(
+            batch, monitor, outs, with_masks, need_seg_preds=need_seg_preds
+        )
         results = {
             "boxes": boxes,
             "seg_preds": seg_preds,

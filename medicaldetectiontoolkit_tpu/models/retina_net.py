@@ -383,9 +383,11 @@ class RetinaNetDetector(base.Detector):
         det, det_mask, seg_preds = self._detect_fn(*heads)
         return img.shape, monitor, anchor_info, det, det_mask, seg_preds
 
-    def train_forward_convert(self, handles, batch):
+    def train_forward_convert(self, handles, batch, need_seg_preds: bool = True):
         cf = self.cf
         img_shape, monitor, anchor_info, det, det_mask, seg_preds = handles
+        if not need_seg_preds:
+            seg_preds = None  # skip the full-volume device->host pull
 
         box_results_list = [[] for _ in range(img_shape[0])]
         base.add_gt_boxes_to_results(batch, box_results_list)

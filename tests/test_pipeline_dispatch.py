@@ -131,3 +131,30 @@ def test_val_tiling_pipeline_matches_serial_chunks(model, monkeypatch):
             np.testing.assert_allclose(g["box_score"], w["box_score"])
     for k, v in want_monitor.items():
         np.testing.assert_allclose(got["monitor_values"][k], v, rtol=1e-6)
+
+
+@pytest.mark.parametrize("model", ["mrcnn", "retina_unet", "detection_unet"])
+def test_lean_convert_matches_full(model):
+    """need_seg_preds=False (the trainer's per-step monitoring path) must
+    produce identical boxes + monitor values; only seg_preds may differ
+    (None, except detection_unet whose boxes derive from the seg volume)."""
+    cf = make_config(model=model, dim=2, batch_size=2,
+                     retina_scales=(model not in ("mrcnn",)))
+    net = build_model(cf, _Log())
+    net.initialize(seed=3)
+    batch = make_batch(cf, seed=7)
+
+    handles = net.train_forward_dispatch(batch, is_validation=True)
+    full = net.train_forward_convert(handles, batch, need_seg_preds=True)
+    lean = net.train_forward_convert(handles, batch, need_seg_preds=False)
+
+    assert lean["monitor_values"] == full["monitor_values"]
+    assert lean["loss"] == full["loss"]
+    assert repr(lean["boxes"]) == repr(full["boxes"])
+    if model == "detection_unet":
+        np.testing.assert_array_equal(lean["seg_preds"], full["seg_preds"])
+    else:
+        # lean convert keeps the (b,1,*sp) shape contract with a cheap
+        # host-side zero volume instead of pulling the device seg output
+        assert lean["seg_preds"].shape == full["seg_preds"].shape
+        assert not lean["seg_preds"].any()

@@ -71,12 +71,14 @@ def _mix(x, i):
 
 
 def _timed_chain(fn, *args, n=None, name="", floor_ms=None):
-    """Like _timed, but for conv-dominated probes where scalar input mixing
-    gets hoisted across the convs and elided. ``fn(*args, m)`` must return
-    ``(out, m_next)`` with ``m_next`` a scalar computed FROM the conv
-    outputs: the next call's input then genuinely differs in a way no
-    algebraic rewrite can factor out. Costs one host sync per step (the
-    scalar travels through the host), negligible at >=10 ms/step.
+    """Like _timed, but the LAST arg is an input tensor that the probe
+    threads through the computation: ``fn(*args)`` must return ``(out,
+    x_next)`` where ``x_next`` is a fresh same-shaped tensor derived from the
+    outputs (convprobe.py's pattern). Two weaker schemes both FAILED on
+    hardware: a scalar multiply mixer (hoisted across convs, round-4
+    ab_fwd_chain) and a single-element in-place set (round-5 ab_fwd2, still
+    0.1 ms) — only a genuinely NEW full input buffer per call defeats the
+    runtime's execution elision.
 
     ``floor_ms`` is an elision tripwire: a full-program fragment (whole
     forward, whole backbone backward) physically cannot run in under a few
@@ -87,16 +89,16 @@ def _timed_chain(fn, *args, n=None, name="", floor_ms=None):
     import jax.numpy as jnp
 
     n = n or int(os.environ.get("MDT_ABLATE_STEPS", 10))
-    out, m = fn(*args, jnp.float32(0.0))
+    out, x = fn(*args)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    out, m = fn(*args, m)
+    out, x = fn(*args[:-1], x)
     jax.block_until_ready(out)
     t_second = time.perf_counter() - t0
     t0 = time.perf_counter()
     for _ in range(n):
-        out, m = fn(*args, m)
-        m.block_until_ready()
+        out, x = fn(*args[:-1], x)
+        out.block_until_ready()
     dt = (time.perf_counter() - t0) / n
     flag = ""
     if floor_ms is not None and dt * 1e3 < floor_ms:
@@ -112,28 +114,25 @@ def _timed_chain(fn, *args, n=None, name="", floor_ms=None):
 _FLOOR_FAILURES = []
 
 
-def _chain_mix(x, m):
-    """Embed the chained mixer INTO the tensor contents: one corner element
-    set to a bounded function of the prior output.
+def _chain_next(x, s):
+    """Fresh next-call input: multiply the WHOLE buffer by a factor in
+    [1 + 2^-7, 1 + 2^-6] derived from this call's output scalar. Why this
+    exact shape (two weaker schemes failed on hardware):
 
-    A scalar *multiply* mixer (x * (1 + eps*m)) is useless for conv probes no
-    matter where m comes from — XLA hoists the multiply across convolutions
-    (conv(s*x) == s*conv(x)), so the conv fragment's runtime inputs stay
-    bit-identical and the content-addressed runtime elides the execution
-    (round-4 ab_fwd_chain still read 0.3-0.5 ms after the chained-scalar
-    rewrite). A single-element dynamic-update cannot be factored out of a
-    convolution by any algebraic rewrite, and `.set` (not `.add`) cannot
-    round away in bf16."""
-    idx = (0,) * x.ndim
-    return x.at[idx].set((0.5 + 0.5 * m).astype(x.dtype))
-
-
-def _next_mixer(val):
-    """Fold a device scalar into a bounded mixer in [0, 1)."""
+    - the factor is applied in the PREVIOUS execution, so no algebraic
+      rewrite of THIS program can factor it out — the input buffer itself is
+      bit-different per call;
+    - the relative change exceeds bf16's 2^-8 resolution near 1.0, so
+      ``x * factor != x`` bitwise (a 1e-3 factor rounds back to x, the
+      round-5 ab_fwd2 failure: the corner-set's effect on the f32 logit sum
+      rounded away, reaching a bit-identical fixed point);
+    - drift over 10-20 timed steps is bounded (< 1.2x), no overflow.
+    Computed inside the jitted fn so the loop never syncs the big tensor."""
     import jax.numpy as jnp
 
-    s = val.astype(jnp.float32)
-    return s - jnp.floor(s)
+    frac = (s.astype(jnp.float32) - jnp.floor(s.astype(jnp.float32)))
+    factor = (1.0 + 2.0 ** -7 * (1.0 + frac)).astype(x.dtype)
+    return x * factor
 
 
 def main(variants):
@@ -213,12 +212,12 @@ def main(variants):
 
     if "fwd" in variants:
         @jax.jit
-        def fwd(p, x, m):
-            heads = net._predict(p, _chain_mix(x, m))
+        def fwd(p, x):
+            heads = net._predict(p, x)
             # reduce over ALL heads: returning only the class logits lets XLA
             # dead-code-eliminate the bb-delta and seg branches
             s = sum(jnp.sum(h.astype(jnp.float32)) for h in heads)
-            return s, _next_mixer(s)
+            return s, _chain_next(x, s)
 
         _timed_chain(fwd, params, img, name="fwd", floor_ms=5.0)
 
@@ -238,10 +237,10 @@ def main(variants):
 
         if "bb_fwd" in variants:
             @jax.jit
-            def bb(p, x, m):
-                outs = fpn.apply({"params": p}, _chain_mix(x, m))
+            def bb(p, x):
+                outs = fpn.apply({"params": p}, x)
                 s = sum(jnp.sum(o.astype(jnp.float32)) for o in outs)
-                return s, _next_mixer(s)
+                return s, _chain_next(x, s)
 
             _timed_chain(bb, fpn_params, img, name="bb_fwd", floor_ms=5.0)
 
@@ -250,12 +249,12 @@ def main(variants):
                 return sum(jnp.sum(o.astype(jnp.float32)) for o in fpn.apply({"params": p}, x))
 
             @jax.jit
-            def bbg(p, x, m):
-                g = jax.grad(bb_loss)(p, _chain_mix(x, m))
+            def bbg(p, x):
+                g = jax.grad(bb_loss)(p, x)
                 # reduce over ALL leaves: returning a single leaf lets XLA
                 # dead-code-eliminate the other gradients (partial backward)
                 s = sum(jnp.sum(l.astype(jnp.float32)) for l in jax.tree_util.tree_leaves(g))
-                return s, _next_mixer(s)
+                return s, _chain_next(x, s)
 
             _timed_chain(bbg, fpn_params, img, name="bb_bwd", floor_ms=5.0)
 

@@ -106,7 +106,7 @@ def main():
     print(f"exp={args.exp} model={args.model} dim={cf.dim} bs={cf.batch_size} "
           f"patch={cf.patch_size} platform={jax.devices()[0].platform}", flush=True)
 
-    phases = {k: [] for k in ("load", "prep", "dispatch", "device", "convert")}
+    phases = {k: [] for k in ("load", "prep", "dispatch", "device", "convert", "convert_seg")}
     h2d = d2h = 0
 
     for i in range(args.steps + 1):  # step 0 = compile, excluded from stats
@@ -124,8 +124,12 @@ def main():
         monitor = next(h for h in handles if isinstance(h, dict))
         jax.block_until_ready(monitor)
         t4 = time.perf_counter()
-        results = net.train_forward_convert(handles, batch)
+        # lean convert = what exec.py's monitoring loop does; the second call
+        # adds only the seg_preds device->host pull (the suspected hot phase)
+        results = net.train_forward_convert(handles, batch, need_seg_preds=False)
         t5 = time.perf_counter()
+        net.train_forward_convert(handles, batch, need_seg_preds=True)
+        t6 = time.perf_counter()
         if i == 0:
             print(f"  compile/first step: {t5 - t0:.1f}s", flush=True)
             h2d = _tree_nbytes(prep)
@@ -139,9 +143,10 @@ def main():
         phases["dispatch"].append(t3 - t2)
         phases["device"].append(t4 - t3)
         phases["convert"].append(t5 - t4)
+        phases["convert_seg"].append(t6 - t5)
         print(f"  step {i}: load {t1-t0:.3f}  prep {t2-t1:.3f}  dispatch {t3-t2:.3f}"
-              f"  device {t4-t3:.3f}  convert {t5-t4:.3f}  loss {results['loss']:.3f}",
-              flush=True)
+              f"  device {t4-t3:.3f}  convert {t5-t4:.3f}  +seg {t6-t5:.3f}"
+              f"  loss {results['loss']:.3f}", flush=True)
 
     print(f"h2d bytes/step: {h2d/1e6:.1f} MB  (link ~1.3 GB/s => {h2d/1.3e9*1e3:.0f} ms floor)")
     print(f"d2h bytes/step (handles): {d2h/1e6:.1f} MB => {d2h/1.3e9*1e3:.0f} ms floor")
