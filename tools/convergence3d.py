@@ -53,6 +53,9 @@ def main():
                          "this script before spending chip time on it)")
     ap.add_argument("--shape", default=None,
                     help="synthetic volume (z,y,x), e.g. 40,104,104")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from <exp_dir>/fold_0/last_checkpoint "
+                         "(continue an interrupted run through to test)")
     args = ap.parse_args()
 
     shape = tuple(int(v) for v in args.shape.split(",")) if args.shape else (100, 176, 176)
@@ -76,6 +79,9 @@ def main():
     cmd = [sys.executable, os.path.join(REPO, "exec.py"), "--mode", args.mode,
            "--exp_source", os.path.join(REPO, "experiments/lidc_exp"),
            "--exp_dir", exp_dir, "--folds", "0"]
+    if args.resume:
+        cmd += ["--resume_to_checkpoint",
+                os.path.join(exp_dir, "fold_0", "last_checkpoint")]
     print("running:", " ".join(cmd), flush=True)
     rc = subprocess.call(cmd, env=env)
     if rc:
