@@ -248,6 +248,7 @@ def _run(batch_spec):
             "vs_baseline": round(n_steps * batch_size / dt_i / REF_V100_PATCHES_PER_SEC, 3),
         }
 
+    result["config"] = f"batch={batch_spec} dtype={cf.compute_dtype}"
     print(json.dumps(result))
 
 
