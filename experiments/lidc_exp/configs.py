@@ -83,6 +83,11 @@ class configs(DefaultConfigs):
         self.num_epochs = int(os.environ.get("MDT_LIDC_EPOCHS", 100))
         self.num_train_batches = int(os.environ.get("MDT_LIDC_NTB", 200))
         self.batch_size = int(os.environ.get("MDT_LIDC_BS", 20 if self.dim == 2 else 8))
+        # conv-stack compute dtype. The reference trains fp32; bfloat16 halves
+        # conv HBM traffic on TPU (the bench's config) and — since the RoIAlign
+        # dtype fixes in ops/roi_align_pallas.py — also trains the two-stage
+        # models. Kept fp32 by default for reference parity; flip per run.
+        self.compute_dtype = os.environ.get("MDT_LIDC_DTYPE", "float32")
 
         self.do_validation = True
         self.val_mode = "val_sampling"

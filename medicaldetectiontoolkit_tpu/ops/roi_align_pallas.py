@@ -159,6 +159,15 @@ def pyramid_roi_align_pallas(feature_maps, boxes, box_indices, levels_idx, crop_
     R = boxes.shape[0]
     C = feature_maps[0].shape[-1]
     dtype = feature_maps[0].dtype
+    if dtype in (jnp.bfloat16, jnp.float16):
+        # The kernel's dynamic-row z-gather (vector.load on the VMEM scratch)
+        # only proves sublane alignment for f32's (8, 128) tiling — bf16's
+        # (16, 128) packing fails Mosaic's multiple-of-8 check. Run the kernel
+        # in f32; this also matches the XLA oracle's output dtype (bf16
+        # features x f32 lerp weights promote to f32), so the forward dtype is
+        # identical across backends and the custom VJP sees consistent avals.
+        dtype = jnp.float32
+        feature_maps = [fm.astype(jnp.float32) for fm in feature_maps]
     spatial = [fm.shape[1 : 1 + dim] for fm in feature_maps]
     max_sp = tuple(max(s[ax] for s in spatial) for ax in range(dim))
 
@@ -259,11 +268,17 @@ def _pyramid_fwd(feature_maps, boxes, box_indices, levels_idx, crop_size):
 
 def _pyramid_bwd(crop_size, residuals, g):
     feature_maps, boxes, box_indices, levels_idx = residuals
-    _, vjp = jax.vjp(
+    out, vjp = jax.vjp(
         lambda fms: pyramid_roi_align_xla(fms, boxes, box_indices, levels_idx, crop_size),
         feature_maps,
     )
-    (d_fms,) = vjp(g)
+    # Dtype alignment: the XLA oracle promotes to the lerp weights' dtype
+    # (bf16 features x f32 boxes -> f32 crops) while the Pallas forward
+    # preserves the feature dtype, so with bf16 feature maps the incoming
+    # cotangent is bf16 but the oracle's pullback expects f32. Cast the
+    # cotangent to the oracle's output dtype; the pullback itself returns
+    # cotangents matching the feature maps' own avals.
+    (d_fms,) = vjp(g.astype(out.dtype))
     return d_fms, None, None, None
 
 

@@ -116,3 +116,38 @@ def test_chunked_large_R_matches_oracle(rng, monkeypatch):
     want = P.pyramid_roi_align_xla(fms, boxes, bix, lvl, (5, 5))
     got = P.pyramid_roi_align_pallas(fms, boxes, bix, lvl, (5, 5), interpret=INTERPRET)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=1e-6)
+
+
+def test_vjp_bf16_feature_maps(rng):
+    # Regression: with bf16 feature maps the Pallas forward preserves bf16
+    # while the XLA oracle promotes to f32 (f32 lerp weights), so on TPU the
+    # custom-VJP backward used to receive a bf16 cotangent that the oracle's
+    # pullback rejected (ValueError: unexpected JAX type) — hit by the 3D
+    # Mask R-CNN train step under compute_dtype=bfloat16 (mask/classify RoI
+    # pooling on bf16 FPN maps). The bwd now casts the cotangent to the
+    # oracle's output dtype.
+    fms = [f.astype(jnp.bfloat16) for f in make_pyramid(rng, 3)]
+    boxes, bix, lvl = make_rois(rng, 3, R=9, B=2, L=3)
+    crop = (4, 4, 2)
+
+    # direct bwd-helper check (backend-independent: simulates the TPU-path
+    # aval where the forward output dtype equals the feature dtype)
+    cot = jnp.array(rng.randn(9, *crop, fms[0].shape[-1]), jnp.bfloat16)
+    d_fms, _, _, _ = P._pyramid_bwd(crop, (fms, boxes, bix, lvl), cot)
+    for d, f in zip(d_fms, fms):
+        assert d.shape == f.shape and d.dtype == jnp.bfloat16
+
+    # end-to-end grad through the public dispatcher (on TPU this exercises
+    # the real Pallas forward + oracle backward; on CPU the XLA forward).
+    # Both backends must promote bf16 features to f32 output (the Pallas path
+    # upcasts: Mosaic rejects the kernel's dynamic z-gather on bf16 tiling).
+    out = P.pyramid_roi_align(fms, boxes, bix, lvl, crop)
+    assert out.dtype == jnp.float32
+
+    def loss(fms_):
+        return jnp.sum(P.pyramid_roi_align(fms_, boxes, bix, lvl, crop))
+
+    g = jax.grad(loss)(fms)
+    for gl, f in zip(g, fms):
+        assert gl.dtype == f.dtype
+        assert bool(jnp.isfinite(gl.astype(jnp.float32)).all())
